@@ -1,0 +1,50 @@
+"""Shared types for the 2DGS rasterizer."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+
+
+# Numerical constants of the 2DGS blending semantics (the reference rasterizer
+# behavior the oracle pins down; SURVEY.md §3.5).
+ALPHA_EPS = 1.0 / 255.0     # minimum contribution weight
+ALPHA_MAX = 0.99            # opacity clamp
+T_EPS = 1e-4                # early-termination transmittance
+FILTER_INV_SQUARE = 2.0     # screen-space low-pass: rho2d = 2 * d^2
+MEDIAN_T = 0.5              # transmittance threshold for median depth
+DETACH_FILTER = True        # low-pass branch contributes no position grads
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RasterizeSettings:
+    """Static rasterization configuration (all fields static → jit keys)."""
+
+    width: int = dataclasses.field(metadata=dict(static=True))
+    height: int = dataclasses.field(metadata=dict(static=True))
+    znear: float = dataclasses.field(default=0.2, metadata=dict(static=True))
+    zfar: float = dataclasses.field(default=100.0, metadata=dict(static=True))
+    # depth range used by the distortion mapping (reference kernel behavior)
+    scale_modifier: float = dataclasses.field(default=1.0, metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RenderOutput:
+    """All rasterizer outputs, channels-last.
+
+    ``expected_depth``/``normal`` are alpha-weighted and unnormalized, exactly
+    like allmap ch0/ch2-4 (the caller normalizes by ``alpha``, cf. reference
+    ``gaussian_renderer/__init__.py:155-169``).
+    """
+
+    color: Any          # [H, W, C]
+    alpha: Any          # [H, W]
+    expected_depth: Any  # [H, W]
+    normal: Any         # [H, W, 3] view-space
+    median_depth: Any   # [H, W]
+    distortion: Any     # [H, W]
+    radii: Any          # [N] float screen-space radius (0 = culled)
