@@ -22,3 +22,4 @@ Output contract (channels-last here; the reference uses a packed 7-channel
 
 from .types import RasterizeSettings, RenderOutput
 from .oracle import rasterize_oracle
+from .api import rasterize

@@ -1,0 +1,101 @@
+"""Public rasterization API: tiled Pallas path with full autodiff.
+
+``rasterize`` is the TPU equivalent of constructing the reference's
+``GaussianRasterizer(settings)(...)`` (``gaussian_renderer/__init__.py:39-54``)
+— one differentiable call producing the full output contract. Differences by
+design (SURVEY.md §7.1):
+
+* colors are precomputed by the caller (SH decode lives in jnp where
+  autodiff handles it) — like the reference's ``colors_precomp`` path;
+* the screen-space position gradient used by densification is exposed via
+  the ``center2d`` reparameterization instead of a zero-tensor grad tap
+  (SURVEY.md §7.4);
+* static capacity knobs (``max_tiles_per_surfel``, ``duplicate_capacity``)
+  replace the CUDA dynamic allocations so everything jits once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .kernel import (CH, PIX, S_CHUNK, TILE_H, TILE_W, blend_core,
+                     build_aligned, pack_geometry)
+from .preprocess import preprocess_surfels
+from .tiles import bin_surfels
+from .types import RasterizeSettings, RenderOutput
+
+
+def default_duplicate_capacity(n_surfels: int, width: int, height: int,
+                               avg_tiles_per_surfel: float = 6.0) -> int:
+    """A practical static capacity for the aligned duplicate stream."""
+    tiles = -(-width // TILE_W) * -(-height // TILE_H)
+    cap = int(n_surfels * avg_tiles_per_surfel) + tiles * S_CHUNK
+    return -(-cap // S_CHUNK) * S_CHUNK
+
+
+def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
+              settings: RasterizeSettings, bg=None,
+              max_tiles_per_surfel: int = 32,
+              duplicate_capacity: int | None = None,
+              interpret: bool = False) -> RenderOutput:
+    """Differentiable tiled 2DGS render (Pallas TPU kernels).
+
+    Same semantics as ``rasterize_oracle`` (tested to match); activated
+    scales/opacities, ``colors`` [N, C] with C ≤ 5 (packed with the normal
+    into 8 channel rows).
+    """
+    n = means3d.shape[0]
+    c = colors.shape[-1]
+    if c != 3:
+        raise ValueError(
+            f"the blend kernel is templated for 3 color channels, got {c}; "
+            "render multi-channel payloads in triples like the reference's "
+            "semantic passes (gaussian_renderer/__init__.py:347-369)")
+    if duplicate_capacity is None:
+        duplicate_capacity = default_duplicate_capacity(
+            n, settings.width, settings.height)
+
+    sur = preprocess_surfels(means3d, scales, quats, opacities, colors,
+                             w2c, K, settings)
+
+    sg = jax.lax.stop_gradient
+    binning = bin_surfels(sg(sur.center2d), sg(sur.radius), sg(sur.depth),
+                          sur.valid, settings.width, settings.height,
+                          TILE_W, TILE_H, max_tiles_per_surfel)
+    aligned = build_aligned(binning, n, S_CHUNK, duplicate_capacity)
+
+    geomT_ps, qT_ps = pack_geometry(sur, n)
+    geomT = jnp.take(geomT_ps, aligned.surfel_idx, axis=1)
+    qT = jnp.take(qT_ps, aligned.surfel_idx, axis=1)
+
+    num_tiles = aligned.num_tiles_x * aligned.num_tiles_y
+    acc, lk = blend_core(geomT, qT, aligned.chunk_offsets, num_tiles,
+                         aligned.num_tiles_x, settings, interpret)
+
+    # [T, PIX, CH] → [CH, H, W]
+    h, w_img = settings.height, settings.width
+    img = acc.reshape(aligned.num_tiles_y, aligned.num_tiles_x,
+                      TILE_H, TILE_W, CH)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(
+        CH, aligned.num_tiles_y * TILE_H, aligned.num_tiles_x * TILE_W)
+    img = img[:, :h, :w_img]
+
+    color = jnp.moveaxis(img[0:3], 0, -1)
+    alpha = img[6]
+    if bg is not None:
+        color = color + (1.0 - alpha)[..., None] * bg
+
+    return RenderOutput(
+        color=color,
+        alpha=alpha,
+        expected_depth=img[7],
+        normal=jnp.moveaxis(img[3:6], 0, -1),
+        median_depth=jax.lax.stop_gradient(img[11]),
+        distortion=img[8],
+        radii=sur.radius,
+    )

@@ -35,9 +35,18 @@ def pair_alpha_depth(m_rows, center2d, center_depth, opacity, valid,
 
     Returns (alpha [S,P], t [S,P]) with alpha already zeroed for
     non-contributing pairs (α < 1/255, behind znear, culled surfel).
+
+    Inputs may be 1-D ([S] / [P], oracle path) or pre-shaped 2-D
+    ([S,1] / [1,P], Pallas kernel path — avoids relayouts on TPU).
     """
-    r1x, r1y, r1z, r2x, r2y, r2z, r3x, r3y, r3z = [m[:, None] for m in m_rows]
-    pxb, pyb = px[None, :], py[None, :]
+    col = lambda m: m[:, None] if m.ndim == 1 else m         # → [S,1]
+    row = lambda p: p[None, :] if p.ndim == 1 else p         # → [1,P]
+    r1x, r1y, r1z, r2x, r2y, r2z, r3x, r3y, r3z = [col(m) for m in m_rows]
+    pxb, pyb = row(px), row(py)
+    center2d = (col(center2d[0]), col(center2d[1]))
+    center_depth = col(center_depth)
+    opacity = col(opacity)
+    valid = col(valid)
 
     hux = r1x - pxb * r3x
     huy = r1y - pxb * r3y
@@ -56,17 +65,17 @@ def pair_alpha_depth(m_rows, center2d, center_depth, opacity, valid,
     rho3d = u * u + v * v
     t_isect = r3x * u + r3y * v + r3z
 
-    dx = pxb - center2d[0][:, None]
-    dy = pyb - center2d[1][:, None]
+    dx = pxb - center2d[0]
+    dy = pyb - center2d[1]
     rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
 
     use2d = rho3d > rho2d
     rho = jnp.where(use2d, rho2d, rho3d)
-    t = jnp.where(use2d, center_depth[:, None], t_isect)
+    t = jnp.where(use2d, center_depth * jnp.ones_like(t_isect), t_isect)
 
     g = jnp.exp(-0.5 * rho)
-    alpha = jnp.minimum(ALPHA_MAX, opacity[:, None] * g)
-    contrib = (alpha >= ALPHA_EPS) & (t >= znear) & valid[:, None]
+    alpha = jnp.minimum(ALPHA_MAX, opacity * g)
+    contrib = (alpha >= ALPHA_EPS) & (t >= znear) & valid
     return jnp.where(contrib, alpha, 0.0), t
 
 
