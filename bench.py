@@ -1,0 +1,87 @@
+"""Headline benchmark: 2DGS rays/s/chip forward+backward at 1920x1280.
+
+Measures the full differentiable render step (preprocess + tile binning +
+Pallas forward + Pallas backward + gradient scatter) on a synthetic street
+scene, matching BASELINE.md's primary metric. The reference publishes no
+numbers (BASELINE.md); ``vs_baseline`` is measured against 24M rays/s —
+an estimate of the reference CUDA pipeline's fwd+bwd throughput at this
+resolution on its README hardware (~10 train iters/s at 1920x1280).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 24e6
+
+
+def build_scene(n, seed=0):
+    rng = np.random.default_rng(seed)
+    # street-like: ground carpet + facade walls + scattered clutter
+    n_g, n_w = n // 2, n // 3
+    n_c = n - n_g - n_w
+    ground = np.stack([rng.uniform(-30, 30, n_g), np.full(n_g, 2.0),
+                       rng.uniform(2, 80, n_g)], 1)
+    walls = np.stack([np.where(rng.random(n_w) < 0.5, -12.0, 12.0)
+                      + rng.normal(0, 0.3, n_w),
+                      rng.uniform(-8, 2, n_w), rng.uniform(2, 80, n_w)], 1)
+    clutter = np.stack([rng.uniform(-10, 10, n_c), rng.uniform(-3, 2, n_c),
+                        rng.uniform(3, 60, n_c)], 1)
+    pts = np.concatenate([ground, walls, clutter]).astype(np.float32)
+    depths = pts[:, 2]
+    # scale so splats project to ~4-10 px at f=1000
+    scales = (rng.uniform(3, 8, (n, 1)) * depths[:, None] / 1000.0
+              ).astype(np.float32).repeat(2, 1)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.95, n).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    return pts, scales, quats, opac, cols
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from streetunveiler_tpu.ops.rasterizer import RasterizeSettings, rasterize
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    W, H, f = 1920, 1280, 1000.0
+    iters = 10
+
+    pts, scales, quats, opac, cols = build_scene(n)
+    args = tuple(map(jnp.asarray, (pts, scales, quats, opac, cols)))
+    K = jnp.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], jnp.float32)
+    w2c = jnp.eye(4)
+    st = RasterizeSettings(width=W, height=H, znear=0.2, zfar=100.0)
+    bg = jnp.zeros(3)
+    tgt = jnp.zeros((H, W, 3))
+    dup_cap = 6 * 1024 * 1024
+
+    def loss(*a):
+        out = rasterize(*a, w2c, K, st, bg=bg, duplicate_capacity=dup_cap)
+        return (jnp.sum((out.color - tgt) ** 2) + 0.01 * jnp.sum(out.distortion)
+                + 0.01 * jnp.sum(out.normal ** 2))
+
+    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+    g = step(*args)
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = step(*args)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / iters
+
+    rays_per_s = W * H / dt
+    print(json.dumps({
+        "metric": "2dgs_rays_per_s_chip_fwd_bwd_1920x1280",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

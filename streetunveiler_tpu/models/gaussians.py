@@ -1,0 +1,289 @@
+"""Surfel model state — the TPU-native ``GaussianModel``.
+
+Redesign of reference ``scene/gaussian_model.py:22-682`` (SURVEY.md §7.1):
+state is an immutable pytree of *fixed-capacity* arrays with an ``alive``
+mask, so densify/prune never changes array shapes and the train step jits
+once. The reference's Adam-state "surgery" (``gaussian_model.py:384-472``)
+disappears: moments are arrays in the same pytree layout and are gathered/
+zeroed with the same index maps as the parameters.
+
+Parameterization matches the reference exactly:
+  xyz [C,3]; SH features split dc [C,1,3] / rest [C,K-1,3] (LR of rest is
+  /20); log-scales [C,2] (2D surfels!, :152); quaternion [C,4]; opacity
+  logit [C,1]; frozen int32 semantics [C] carried through every
+  densify/prune/save path (:163,489,516).
+
+Dead slots have opacity logit −∞-ish → activated opacity 0 → the
+rasterizer culls them for free (contribution bound < 1/255).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.knn import mean_sq_dist_to_3nn
+from ..ops.sh import num_sh_bases, rgb_to_sh
+from ..ops.transforms import inverse_sigmoid
+
+DEAD_OPACITY_LOGIT = -20.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SurfelParams:
+    """Learnable parameters (raw, pre-activation)."""
+    xyz: Any            # [C, 3]
+    features_dc: Any    # [C, 1, 3]
+    features_rest: Any  # [C, K-1, 3]
+    scaling: Any        # [C, 2] log
+    rotation: Any       # [C, 4]
+    opacity: Any        # [C, 1] logit
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SurfelState:
+    """Full surfel soup state (parameters + frozen/bookkeeping arrays)."""
+    params: SurfelParams
+    semantics: Any      # [C] int32 (non-learnable, reference :130)
+    alive: Any          # [C] bool
+    max_radii2d: Any    # [C] f32   (train.py:167)
+    grad_accum: Any     # [C] f32   screen-grad norm accumulator (:555-557)
+    denom: Any          # [C] f32
+    spatial_scale: Any  # [] f32 — cameras_extent (training_setup)
+    sh_degree: int = dataclasses.field(default=3, metadata=dict(static=True))
+
+    @property
+    def capacity(self) -> int:
+        return self.params.xyz.shape[0]
+
+    @property
+    def num_alive(self):
+        return jnp.sum(self.alive)
+
+    # --- activations (reference :96-128) ---
+    def get_scaling(self):
+        return jnp.exp(self.params.scaling)
+
+    def get_rotation(self):
+        q = self.params.rotation
+        return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+    def get_opacity(self):
+        op = jax.nn.sigmoid(self.params.opacity)
+        return jnp.where(self.alive[:, None], op, 0.0)
+
+    def get_features(self):
+        return jnp.concatenate(
+            [self.params.features_dc, self.params.features_rest], axis=1)
+
+    def semantic_mask(self, class_bits: int):
+        """Bool mask of surfels whose class index is set in ``class_bits``
+        (the reference's 32-bit semantic mask queries, :565-577)."""
+        bit = jnp.left_shift(jnp.int32(1), self.semantics)
+        return (bit & jnp.int32(class_bits)) != 0
+
+
+def empty_params(capacity: int, sh_degree: int) -> SurfelParams:
+    k = num_sh_bases(sh_degree)
+    return SurfelParams(
+        xyz=jnp.zeros((capacity, 3), jnp.float32),
+        features_dc=jnp.zeros((capacity, 1, 3), jnp.float32),
+        features_rest=jnp.zeros((capacity, k - 1, 3), jnp.float32),
+        scaling=jnp.zeros((capacity, 2), jnp.float32),
+        rotation=jnp.zeros((capacity, 4), jnp.float32).at[:, 0].set(1.0),
+        opacity=jnp.full((capacity, 1), DEAD_OPACITY_LOGIT, jnp.float32),
+    )
+
+
+def create_from_pcd(points, colors, semantics, spatial_scale: float,
+                    capacity: int | None = None, sh_degree: int = 3,
+                    seed: int = 0) -> SurfelState:
+    """Initialize from a (semantic) point cloud — reference
+    ``create_from_pcd`` (:141-164): scale = log √(mean-sq-dist-to-3NN)
+    replicated to both axes, opacity 0.1, random quaternions(*).
+
+    (*) the reference uses torch.rand on all 4 components; we sample
+    uniform [0,1) likewise (normalized at use).
+    """
+    points = np.asarray(points, np.float32)
+    n = points.shape[0]
+    if capacity is None:
+        capacity = int(n * 2.5)
+    if capacity < n:
+        raise ValueError(f"capacity {capacity} < initial points {n}")
+
+    dist2 = np.maximum(mean_sq_dist_to_3nn(points), 1e-7)
+    scales = np.log(np.sqrt(dist2))[:, None].repeat(2, axis=1)
+    rng = np.random.default_rng(seed)
+    rots = rng.random((n, 4)).astype(np.float32) + 1e-3
+
+    p = empty_params(capacity, sh_degree)
+    sh_dc = np.asarray(rgb_to_sh(np.asarray(colors, np.float32)))
+
+    def fill(buf, vals):
+        return buf.at[:n].set(jnp.asarray(vals))
+
+    params = SurfelParams(
+        xyz=fill(p.xyz, points),
+        features_dc=fill(p.features_dc, sh_dc[:, None, :]),
+        features_rest=p.features_rest,
+        scaling=fill(p.scaling, scales),
+        rotation=fill(p.rotation, rots),
+        opacity=fill(p.opacity, np.full((n, 1),
+                                        float(inverse_sigmoid(jnp.float32(0.1))))),
+    )
+    sem = jnp.zeros((capacity,), jnp.int32).at[:n].set(
+        jnp.asarray(np.asarray(semantics, np.int32)))
+    alive = jnp.zeros((capacity,), bool).at[:n].set(True)
+    z = jnp.zeros((capacity,), jnp.float32)
+    return SurfelState(params=params, semantics=sem, alive=alive,
+                       max_radii2d=z, grad_accum=z, denom=z,
+                       spatial_scale=jnp.asarray(spatial_scale, jnp.float32),
+                       sh_degree=sh_degree)
+
+
+# ------------------------------------------------------------ densification
+
+def add_densification_stats(state: SurfelState, screen_grads, radii,
+                            visible) -> SurfelState:
+    """Accumulate per-surfel screen-space gradient norms over iterations
+    (reference ``add_densification_stats`` :555-557 + train.py:166-169)."""
+    gnorm = jnp.linalg.norm(screen_grads, axis=-1)
+    vis = visible & state.alive
+    return dataclasses.replace(
+        state,
+        grad_accum=state.grad_accum + jnp.where(vis, gnorm, 0.0),
+        denom=state.denom + vis.astype(jnp.float32),
+        max_radii2d=jnp.where(vis, jnp.maximum(state.max_radii2d, radii),
+                              state.max_radii2d))
+
+
+def _write_rows(leaf, targets, values, mask):
+    """leaf[targets[i]] = values[i] where mask[i] (row i dropped otherwise)."""
+    safe_t = jnp.where(mask, targets, leaf.shape[0])
+    return leaf.at[safe_t].set(values, mode="drop")
+
+
+def densify_and_prune(state: SurfelState, opt_mu, opt_nu,
+                      grad_threshold: float, min_opacity: float,
+                      max_screen_size: float | None, key,
+                      percent_dense: float = 0.01):
+    """One densify+prune pass — pure function, fixed shapes.
+
+    Mirrors reference ``densify_and_prune`` (:539-553): clone small
+    high-gradient surfels, split large ones (children sampled from the
+    surfel's own Gaussian, scales /1.6, parent pruned), then prune by
+    opacity / screen size / world size. Returns (state, opt_mu, opt_nu)
+    with moments zeroed for newborn slots. Children that don't fit in the
+    remaining capacity are dropped silently (monitor via num_alive).
+    """
+    p = state.params
+    cap = state.capacity
+    grads = jnp.where(state.denom > 0, state.grad_accum / state.denom, 0.0)
+    scaling = jnp.exp(p.scaling)
+    max_scale = jnp.max(scaling, axis=1)
+    extent = state.spatial_scale
+
+    high_grad = (grads >= grad_threshold) & state.alive
+    clone_mask = high_grad & (max_scale <= percent_dense * extent)
+    split_mask = high_grad & (max_scale > percent_dense * extent)
+
+    # --- build candidate pool: [cap] clones + [2*cap] split children
+    from ..ops.transforms import quat_to_rotmat
+    rot = quat_to_rotmat(p.rotation / jnp.linalg.norm(
+        p.rotation, axis=-1, keepdims=True))
+    samples = jax.random.normal(key, (2, cap, 2)) * scaling[None]
+    # 2D surfel: offset = R @ (s1·n1, s2·n2, 0)
+    offsets = jnp.einsum("nij,knj->kni", rot[:, :, :2], samples)
+    child_xyz = p.xyz[None] + offsets                       # [2, cap, 3]
+    child_scaling = jnp.log(scaling / (0.8 * 2.0))          # reference N=2
+
+    def cand(leaf, child_leaf=None):
+        """[3*cap, ...] candidate rows: clones then 2x split children."""
+        c = child_leaf if child_leaf is not None else jnp.stack([leaf, leaf])
+        return jnp.concatenate([leaf, c[0], c[1]], axis=0)
+
+    cand_params = SurfelParams(
+        xyz=cand(p.xyz, child_xyz),
+        features_dc=cand(p.features_dc),
+        features_rest=cand(p.features_rest),
+        scaling=cand(p.scaling, jnp.stack([child_scaling, child_scaling])),
+        rotation=cand(p.rotation),
+        opacity=cand(p.opacity),
+    )
+    cand_sem = jnp.concatenate([state.semantics] * 3)
+    cand_valid = jnp.concatenate([clone_mask, split_mask, split_mask])
+
+    # --- allocate free slots (dead first), compact candidates
+    slot_order = jnp.argsort(state.alive, stable=True)      # dead slots first
+    n_free = cap - jnp.sum(state.alive)
+    cand_order = jnp.argsort(~cand_valid, stable=True)      # valid first
+    n_valid = jnp.sum(cand_valid)
+    k = jnp.arange(cap)
+    write = (k < n_free) & (k < n_valid)
+    targets = slot_order
+    sources = cand_order[:cap]
+
+    def place(leaf, cand_leaf):
+        return _write_rows(leaf, targets, cand_leaf[sources], write)
+
+    new_params = jax.tree.map(place, p, cand_params)
+    new_sem = _write_rows(state.semantics, targets, cand_sem[sources], write)
+    new_alive = state.alive.at[jnp.where(write, targets, cap)].set(
+        True, mode="drop")
+
+    # newborn slots start with zero Adam moments (reference cat-zeros)
+    zero_rows = lambda leaf: _write_rows(
+        leaf, targets, jnp.zeros_like(leaf[sources]), write)
+    opt_mu = jax.tree.map(zero_rows, opt_mu)
+    opt_nu = jax.tree.map(zero_rows, opt_nu)
+
+    # --- prune: split parents + low opacity (+ screen/world size)
+    opacity = jax.nn.sigmoid(new_params.opacity[:, 0])
+    # note: newly placed rows overwrite p arrays; masks refer to original
+    # rows, which keep their slot (targets are dead slots only).
+    prune = split_mask | (opacity < min_opacity)
+    if max_screen_size is not None:
+        prune = prune | (state.max_radii2d > max_screen_size) | (
+            jnp.max(jnp.exp(new_params.scaling), axis=1)
+            > 0.1 * extent)
+    new_alive = new_alive & ~prune
+
+    z = jnp.zeros((cap,), jnp.float32)
+    state = dataclasses.replace(
+        state, params=new_params, semantics=new_sem, alive=new_alive,
+        max_radii2d=z, grad_accum=z, denom=z)
+    state = _seal_dead(state)
+    return state, opt_mu, opt_nu
+
+
+def prune_mask(state: SurfelState, mask) -> SurfelState:
+    """Kill surfels where ``mask`` (reference ``prune_points`` semantics,
+    minus the tensor surgery)."""
+    return _seal_dead(dataclasses.replace(
+        state, alive=state.alive & ~mask))
+
+
+def reset_opacity(state: SurfelState, opt_mu, opt_nu):
+    """Clamp opacity to ≤0.01 and reset its Adam moments (reference
+    ``reset_opacity`` :414-418 + ``replace_tensor_to_optimizer``)."""
+    op = jnp.minimum(state.params.opacity, inverse_sigmoid(jnp.float32(0.01)))
+    params = dataclasses.replace(state.params, opacity=op)
+    opt_mu = dataclasses.replace(opt_mu, opacity=jnp.zeros_like(opt_mu.opacity))
+    opt_nu = dataclasses.replace(opt_nu, opacity=jnp.zeros_like(opt_nu.opacity))
+    state = _seal_dead(dataclasses.replace(state, params=params))
+    return state, opt_mu, opt_nu
+
+
+def _seal_dead(state: SurfelState) -> SurfelState:
+    """Force dead slots to zero-opacity so the rasterizer culls them."""
+    op = jnp.where(state.alive[:, None], state.params.opacity,
+                   DEAD_OPACITY_LOGIT)
+    return dataclasses.replace(
+        state, params=dataclasses.replace(state.params, opacity=op))

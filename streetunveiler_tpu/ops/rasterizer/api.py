@@ -42,13 +42,18 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
               settings: RasterizeSettings, bg=None,
               max_tiles_per_surfel: int = 32,
               duplicate_capacity: int | None = None,
-              interpret: bool = False) -> RenderOutput:
+              center2d_offset=None,
+              interpret: bool | None = None) -> RenderOutput:
     """Differentiable tiled 2DGS render (Pallas TPU kernels).
 
     Same semantics as ``rasterize_oracle`` (tested to match); activated
     scales/opacities, ``colors`` [N, C] with C ≤ 5 (packed with the normal
     into 8 channel rows).
     """
+    if interpret is None:
+        # Mosaic only compiles for TPU; tests/virtual-device meshes run on
+        # the CPU backend through the Pallas interpreter.
+        interpret = jax.default_backend() == "cpu"
     n = means3d.shape[0]
     c = colors.shape[-1]
     if c != 3:
@@ -61,7 +66,7 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
             n, settings.width, settings.height)
 
     sur = preprocess_surfels(means3d, scales, quats, opacities, colors,
-                             w2c, K, settings)
+                             w2c, K, settings, center2d_offset=center2d_offset)
 
     sg = jax.lax.stop_gradient
     binning = bin_surfels(sg(sur.center2d), sg(sur.radius), sg(sur.depth),

@@ -222,7 +222,14 @@ def _fwd_kernel(chunk_off_ref, geom_hbm, q_hbm, acc_ref, lk_ref,
         state_ref[:, 1:2] = done.astype(jnp.float32)
         return (k + 1, jnp.all(done))
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+    k_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+
+    # Early termination can exit the loop with the next chunk's DMA still in
+    # flight; it must be drained or its semaphore signal corrupts the next
+    # grid step's waits (observed as a device abort on dense scenes).
+    @pl.when(k_end < nch)
+    def _():
+        wait_chunk(k_end, k_end % 2)
 
 
 # ---------------------------------------------------------------- backward

@@ -89,7 +89,8 @@ def _blend_block(px, py, sur_sorted, settings, chunk_surfels):
 def rasterize_oracle(means3d, scales, quats, opacities, colors, w2c, K,
                      settings: RasterizeSettings, bg=None,
                      chunk_surfels: int = 256,
-                     pixel_block: int = 4096) -> RenderOutput:
+                     pixel_block: int = 4096,
+                     center2d_offset=None) -> RenderOutput:
     """Render. ``scales``/``opacities`` pre-activated; ``colors`` [N, C].
 
     bg: [C] background composited behind the splats (reference semantics:
@@ -98,7 +99,8 @@ def rasterize_oracle(means3d, scales, quats, opacities, colors, w2c, K,
     """
     h, w_img = settings.height, settings.width
     sur = preprocess_surfels(means3d, scales, quats, opacities, colors,
-                             w2c, K, settings)
+                             w2c, K, settings,
+                             center2d_offset=center2d_offset)
 
     # Global front-to-back order by center view depth (reference sorts
     # duplicates by (tile, depth); depth order is the blend semantics).

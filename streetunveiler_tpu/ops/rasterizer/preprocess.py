@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..transforms import quat_to_rotmat
@@ -50,8 +51,17 @@ class SurfelScreen(NamedTuple):
 
 
 def preprocess_surfels(means3d, scales, quats, opacities, colors,
-                       w2c, K, settings: RasterizeSettings) -> SurfelScreen:
-    """Vectorized over N. ``scales``/``opacities`` are pre-activated."""
+                       w2c, K, settings: RasterizeSettings,
+                       center2d_offset=None) -> SurfelScreen:
+    """Vectorized over N. ``scales``/``opacities`` are pre-activated.
+
+    ``center2d_offset`` [N,2] is an always-zero tap: the projected center is
+    reparameterized as ``project(mean) + offset`` and M's third column is
+    rebuilt from it, so ∂L/∂offset is the exact screen-space position
+    gradient — the densification statistic the reference extracts through
+    its zero ``means2D`` proxy tensor (SURVEY.md §7.4,
+    ``gaussian_renderer/__init__.py:28-33``).
+    """
     R = w2c[:3, :3]
     t = w2c[:3, 3]
     c_view = means3d @ R.T + t                       # [N,3]
@@ -70,11 +80,20 @@ def preprocess_surfels(means3d, scales, quats, opacities, colors,
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     Kp = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
     Kp = Kp.at[0, 0].set(fx).at[0, 2].set(cx).at[1, 1].set(fy).at[1, 2].set(cy)
-    cols = jnp.stack([a, b, c_view], axis=-1)        # [N,3,3] columns a|b|c
-    M = jnp.einsum("ij,njk->nik", Kp, cols)          # [N,3,3]
 
     zsafe = jnp.where(jnp.abs(depth) < 1e-8, 1e-8, depth)
-    center2d = jnp.stack([M[:, 0, 2] / zsafe, M[:, 1, 2] / zsafe], axis=-1)
+    center2d = jnp.stack([(fx * c_view[:, 0] + cx * zsafe) / zsafe,
+                          (fy * c_view[:, 1] + cy * zsafe) / zsafe], axis=-1)
+    if center2d_offset is not None:
+        center2d = center2d + center2d_offset
+
+    # M columns: K'a | K'b | (x2d·z, y2d·z, z) — the third column rebuilt
+    # from the (tapped) screen center; identical values, exact gradients.
+    col_a = a @ Kp.T
+    col_b = b @ Kp.T
+    col_c = jnp.stack([center2d[:, 0] * zsafe, center2d[:, 1] * zsafe,
+                       depth], axis=-1)
+    M = jnp.stack([col_a, col_b, col_c], axis=-1)    # [N,3,3]
 
     # Screen-space extent: exact sub-level-set bound of the contribution
     # region. A pair contributes iff α = opacity·exp(−ρ/2) ≥ 1/255, i.e.
@@ -88,12 +107,16 @@ def preprocess_surfels(means3d, scales, quats, opacities, colors,
     a2d_y = (a[:, 1] * fy - (center2d[:, 1] - cy) * a[:, 2]) * inv_z
     b2d_x = (b[:, 0] * fx - (center2d[:, 0] - cx) * b[:, 2]) * inv_z
     b2d_y = (b[:, 1] * fy - (center2d[:, 1] - cy) * b[:, 2]) * inv_z
+    # The radius/extent only feeds culling and binning (index space) — it is
+    # never differentiated, and sqrt-at-zero under the max would leak
+    # inf·0 = NaN into the opacity/axis gradients of culled surfels.
+    sg = jax.lax.stop_gradient
     op = opacities.reshape(-1)
-    rho_max = 2.0 * jnp.log(jnp.maximum(255.0 * op, 1e-6))
-    k = jnp.sqrt(jnp.maximum(rho_max, 0.0))
-    r_lowpass = jnp.sqrt(jnp.maximum(rho_max, 0.0) * 0.5)
-    ext_x = jnp.maximum(k * jnp.sqrt(a2d_x**2 + b2d_x**2), r_lowpass) + 0.51
-    ext_y = jnp.maximum(k * jnp.sqrt(a2d_y**2 + b2d_y**2), r_lowpass) + 0.51
+    rho_max = 2.0 * jnp.log(jnp.maximum(255.0 * sg(op), 1e-6))
+    k = jnp.sqrt(jnp.maximum(rho_max, 1e-12))
+    r_lowpass = jnp.sqrt(jnp.maximum(rho_max, 1e-12) * 0.5)
+    ext_x = sg(jnp.maximum(k * jnp.sqrt(a2d_x**2 + b2d_x**2), r_lowpass)) + 0.51
+    ext_y = sg(jnp.maximum(k * jnp.sqrt(a2d_y**2 + b2d_y**2), r_lowpass)) + 0.51
     radius = jnp.maximum(ext_x, ext_y)
     visible = rho_max > 0.0  # opacity below 1/255 can never contribute
 

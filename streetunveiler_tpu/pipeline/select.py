@@ -1,0 +1,94 @@
+"""Stage A/B1 — instance selection (reference ``inpainting_pipeline/1_selection``
+and ``2_condition_preparation/1_select_instance.py``).
+
+Clusters surfels of a target semantic class into spatial instances and
+turns chosen instance ids into removal masks. The reference does this with
+an O(N²) GPU loop over points (``scene/gaussian_model.py:617-651``,
+SURVEY.md §7.3.6); here neighbor pairs come from a KD-tree (offline stage,
+CPU) feeding a vectorized union-find, so it scales past 10⁶ surfels.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from ..models.gaussians import SurfelState
+
+CLUSTER_THRESHOLD = 7e-2     # reference 1_instance_visualization.py:28
+MIN_SOLID_CLUSTER = 50       # clusters below this are not offered (:106)
+
+
+class Clustering(NamedTuple):
+    labels: np.ndarray        # [C] instance id, -1 = not in target class
+    cluster_ids: np.ndarray   # ids sorted by descending size
+    cluster_sizes: np.ndarray
+
+
+def cluster_semantic_instance(state: SurfelState, class_bits: int,
+                              threshold: float = CLUSTER_THRESHOLD
+                              ) -> Clustering:
+    """Connected components of the τ-ball graph over surfels of a class
+    (reference ``cluster_instance_with_mask``)."""
+    alive = np.asarray(state.alive)
+    in_class = np.asarray(state.semantic_mask(class_bits)) & alive
+    xyz = np.asarray(state.params.xyz)[in_class]
+    idx = np.where(in_class)[0]
+
+    labels = np.full(alive.shape[0], -1, np.int64)
+    if xyz.shape[0] == 0:
+        return Clustering(labels, np.array([], np.int64),
+                          np.array([], np.int64))
+
+    tree = cKDTree(xyz)
+    pairs = tree.query_pairs(threshold, output_type="ndarray")
+
+    parent = np.arange(xyz.shape[0])
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(xyz.shape[0])])
+
+    uniq, inv, counts = np.unique(roots, return_inverse=True,
+                                  return_counts=True)
+    labels[idx] = inv
+    order = np.argsort(-counts)
+    return Clustering(labels=labels, cluster_ids=order.astype(np.int64),
+                      cluster_sizes=counts[order])
+
+
+def solid_cluster_mask(clustering: Clustering,
+                       min_size: int = MIN_SOLID_CLUSTER) -> np.ndarray:
+    """[C] bool — surfels in clusters of ≥ min_size (reference
+    ``solid_cluster_mask.pt``)."""
+    solid = set(int(c) for c, s in zip(clustering.cluster_ids,
+                                       clustering.cluster_sizes)
+                if s >= min_size)
+    return np.isin(clustering.labels,
+                   np.array(sorted(solid), np.int64)) & (
+        clustering.labels >= 0)
+
+
+def removal_mask_for_instances(clustering: Clustering, instance_ids,
+                               all_solid: bool = False,
+                               min_size: int = MIN_SOLID_CLUSTER
+                               ) -> np.ndarray:
+    """Reference ``generate_pcd_valid_mask`` (1_select_instance.py:25-77):
+    chosen instance ids — or every solid cluster with ``--all`` — become
+    the ``removed_pcd_mask``."""
+    if all_solid:
+        return solid_cluster_mask(clustering, min_size)
+    sel = np.asarray(list(instance_ids), np.int64)
+    return np.isin(clustering.labels, sel) & (clustering.labels >= 0)

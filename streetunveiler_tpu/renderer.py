@@ -1,0 +1,127 @@
+"""High-level differentiable renders — the TPU ``gaussian_renderer``.
+
+Re-creates the four reference entry points (``gaussian_renderer/__init__.py``:
+``render`` :18, ``render_with_mask`` :190, ``render_semantic`` :327,
+``render_semantic_with_mask`` :462) as pure functions over the
+``SurfelState`` pytree. The dict contract of the reference is preserved as
+a dataclass with the same keys/semantics (SURVEY.md §1 renderer layer).
+
+Differences by design:
+* masking is just opacity gating — no separate CUDA entry point needed;
+* the zero ``means2D`` grad-tap tensor is replaced by the explicit
+  ``center2d_offset`` input (pass a zeros array, take grads w.r.t. it);
+* normals are produced in view space (rotation-invariant for the losses)
+  with world-space copies computed on demand.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.gaussians import SurfelState
+from .ops.depth_normal import depth_to_normal
+from .ops.rasterizer import RasterizeSettings, rasterize, rasterize_oracle
+from .ops.sh import eval_sh
+from .scene.cameras import Camera
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RenderResult:
+    """The reference render-dict contract, channels-last."""
+    render: Any          # [H, W, 3]
+    rend_alpha: Any      # [H, W]
+    rend_normal: Any     # [H, W, 3] view-space, alpha-weighted
+    rend_dist: Any       # [H, W] depth-distortion accumulator
+    surf_depth: Any      # [H, W]
+    surf_normal: Any     # [H, W, 3] view-space, alpha-weighted
+    radii: Any           # [C] screen radii (0 = culled)
+    expected_depth: Any  # [H, W] unnormalized (allmap ch0)
+    median_depth: Any    # [H, W]
+
+    @property
+    def visibility_filter(self):
+        return self.radii > 0
+
+    def rend_normal_world(self, camera: Camera):
+        return self.rend_normal @ camera.w2c[:3, :3]
+
+    def surf_normal_world(self, camera: Camera):
+        return self.surf_normal @ camera.w2c[:3, :3]
+
+
+def _settings_for(camera: Camera, scale_modifier: float) -> RasterizeSettings:
+    return RasterizeSettings(width=camera.width, height=camera.height,
+                             znear=0.2, zfar=100.0,
+                             scale_modifier=scale_modifier)
+
+
+def surfel_colors(state: SurfelState, camera: Camera, active_sh_degree):
+    """Per-surfel view-dependent RGB: SH decode + 0.5 shift, clamped ≥ 0
+    (the rasterizer-internal convention the reference relies on)."""
+    dirs = state.params.xyz - camera.camera_center[None, :]
+    dirs = dirs / jnp.sqrt(jnp.maximum(
+        jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-12))
+    feats = state.get_features()
+    # static max degree; lower active degrees are realized by zeroing the
+    # tail bands (warmup trains them from zero anyway — oneupSHdegree)
+    k = feats.shape[1]
+    band = jnp.asarray(np.repeat(np.arange(state.sh_degree + 1),
+                                 2 * np.arange(state.sh_degree + 1) + 1)[:k])
+    feats = jnp.where((band <= active_sh_degree)[None, :, None], feats, 0.0)
+    rgb = eval_sh(state.sh_degree, feats, dirs) + 0.5
+    return jnp.maximum(rgb, 0.0)
+
+
+def render(camera: Camera, state: SurfelState, bg,
+           active_sh_degree=3, scale_modifier: float = 1.0,
+           depth_ratio: float = 0.0, opacity_mask=None,
+           colors_override=None, center2d_offset=None,
+           interpret: bool | None = None, use_oracle: bool = False,
+           duplicate_capacity: int | None = None) -> RenderResult:
+    """Differentiable render of a SurfelState through the Pallas kernels.
+
+    opacity_mask [C] bool: surfels where False render with opacity 0 —
+    subsumes the reference's ``render_with_mask`` (its ``valid_mask``/
+    ``invert`` bitmask filtering, ``gaussian_renderer/__init__.py:87-94``).
+    colors_override [C,3]: skip SH decode (the semantic passes).
+    """
+    opac = state.get_opacity()[:, 0]
+    if opacity_mask is not None:
+        opac = jnp.where(opacity_mask, opac, 0.0)
+    colors = (colors_override if colors_override is not None
+              else surfel_colors(state, camera, active_sh_degree))
+
+    settings = _settings_for(camera, scale_modifier)
+    raster = rasterize_oracle if use_oracle else rasterize
+    kwargs = {} if use_oracle else dict(
+        interpret=interpret, duplicate_capacity=duplicate_capacity)
+    out = raster(state.params.xyz, state.get_scaling(), state.get_rotation(),
+                 opac, colors, camera.w2c, camera.K, settings,
+                 bg=jnp.asarray(bg), center2d_offset=center2d_offset,
+                 **kwargs)
+
+    alpha = out.alpha
+    exp_depth = jnp.nan_to_num(out.expected_depth
+                               / jnp.maximum(alpha, 1e-8))
+    surf_depth = exp_depth * (1.0 - depth_ratio) + depth_ratio * jnp.nan_to_num(
+        out.median_depth)
+    surf_normal = depth_to_normal(surf_depth, camera.K)
+    surf_normal = surf_normal * jax.lax.stop_gradient(alpha)[..., None]
+
+    return RenderResult(
+        render=out.color,
+        rend_alpha=alpha,
+        rend_normal=out.normal,
+        rend_dist=out.distortion,
+        surf_depth=surf_depth,
+        surf_normal=surf_normal,
+        radii=out.radii,
+        expected_depth=out.expected_depth,
+        median_depth=out.median_depth,
+    )

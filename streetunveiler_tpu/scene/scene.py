@@ -1,0 +1,135 @@
+"""Scene container — reference ``scene/__init__.py:21-314``.
+
+Owns the camera list, the surfel state, the model-dir artifact layout
+(``point_cloud/iteration_N/point_cloud.ply``), and the point↔frame
+projection queries the unveiling pipeline uses. Dataset dispatch follows
+the reference's sentinel-file scheme where applicable; the synthetic
+reader needs no files.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..models.gaussians import SurfelState, create_from_pcd
+from ..utils.ply import state_from_ply, state_to_ply
+from .cameras import Camera, make_camera
+from .readers import SCENE_READERS
+from .readers.basic import SceneInfo
+
+
+def resolution_scale_size(width, height, resolution: int = -1):
+    """Reference resolution policy (``utils/camera_utils.py:25-48``):
+    -1 → clamp width to 1600; k ∈ {1,2,4,8} → divide."""
+    if resolution in (1, 2, 4, 8):
+        return round(width / resolution), round(height / resolution)
+    if width > 1600:
+        scale = width / 1600.0
+        return round(width / scale), round(height / scale)
+    return width, height
+
+
+class Scene:
+    def __init__(self, scene_info: SceneInfo, model_path: str = "",
+                 resolution: int = -1, capacity: int = 0, sh_degree: int = 3):
+        self.info = scene_info
+        self.model_path = model_path
+        self.cameras_extent = float(scene_info.nerf_normalization["radius"])
+        self.camera_frame_dict = scene_info.camera_frame_dict or {}
+
+        self.train_cameras: list[Camera] = []
+        self.train_images: list[Optional[np.ndarray]] = []
+        self.train_semantics: list[Optional[np.ndarray]] = []
+        for ci in scene_info.train_cameras:
+            w, h = resolution_scale_size(ci.width, ci.height, resolution)
+            K = ci.K.copy()
+            K[0, :] *= w / ci.width
+            K[1, :] *= h / ci.height
+            self.train_cameras.append(make_camera(ci.R, ci.T, K, w, h))
+            img = ci.image
+            if img is not None and img.shape[:2] != (h, w):
+                img = _resize(img, w, h)
+            sem = ci.semantics
+            if sem is not None and sem.shape[:2] != (h, w):
+                sem = _resize_nearest(sem, w, h)
+            self.train_images.append(img)
+            self.train_semantics.append(sem)
+
+        self.test_cameras = [
+            make_camera(ci.R, ci.T, ci.K, ci.width, ci.height)
+            for ci in scene_info.test_cameras]
+
+    # ----------------------------------------------------------- state
+    def create_state(self, capacity: int = 0, sh_degree: int = 3,
+                     prune_sky: bool = True) -> SurfelState:
+        """Init surfels from the scene point cloud. ``prune_sky``: the
+        reference removes sky-class splats at training start (train.py:61)
+        — sky is represented only by the env map."""
+        from ..utils.semantics import CONCERNED_IND
+        pc = self.info.point_cloud
+        pts, cols, sems = pc.points, pc.colors, pc.semantics
+        if prune_sky:
+            keep = sems != CONCERNED_IND["sky"]
+            pts, cols, sems = pts[keep], cols[keep], sems[keep]
+        cap = capacity or int(pts.shape[0] * 2.5)
+        return create_from_pcd(pts, cols, sems, self.cameras_extent,
+                               capacity=cap, sh_degree=sh_degree)
+
+    # ------------------------------------------------------- artifacts
+    def ply_dir(self, iteration: int) -> str:
+        return os.path.join(self.model_path, "point_cloud",
+                            f"iteration_{iteration}")
+
+    def save(self, state: SurfelState, iteration: int) -> None:
+        state_to_ply(os.path.join(self.ply_dir(iteration), "point_cloud.ply"),
+                     state)
+
+    def load(self, iteration: int, capacity: int = 0) -> SurfelState:
+        path = os.path.join(self.ply_dir(iteration), "point_cloud.ply")
+        return state_from_ply(path, spatial_scale=self.cameras_extent,
+                              capacity=capacity or None)
+
+    # ------------------------------------------- projection queries
+    def pcd_in_frame_mask(self, xyz, frame_idx: int, margin: float = 0.0):
+        """Frustum-membership mask of points in a train frame (reference
+        ``getPcdInTrainFrame`` :217 / projection_utils culling)."""
+        cam = self.train_cameras[frame_idx]
+        v = xyz @ jnp.asarray(cam.w2c[:3, :3]).T + jnp.asarray(cam.w2c[:3, 3])
+        z = v[:, 2]
+        x = v[:, 0] / jnp.maximum(z, 1e-8) * cam.K[0, 0] + cam.K[0, 2]
+        y = v[:, 1] / jnp.maximum(z, 1e-8) * cam.K[1, 1] + cam.K[1, 2]
+        return ((z > 0.01) & (x >= -margin) & (x < cam.width + margin)
+                & (y >= -margin) & (y < cam.height + margin))
+
+    def pcd_pixel_coords(self, xyz, frame_idx: int):
+        """Pixel coordinates + depth of points in a frame (reference
+        ``getPcdPixelCoordsInTrainFrameWithDepth`` :259)."""
+        cam = self.train_cameras[frame_idx]
+        v = xyz @ jnp.asarray(cam.w2c[:3, :3]).T + jnp.asarray(cam.w2c[:3, 3])
+        z = jnp.maximum(v[:, 2], 1e-8)
+        x = v[:, 0] / z * cam.K[0, 0] + cam.K[0, 2]
+        y = v[:, 1] / z * cam.K[1, 1] + cam.K[1, 2]
+        return jnp.stack([x, y], axis=-1), v[:, 2]
+
+
+def load_scene(kind: str, model_path: str = "", **kwargs) -> Scene:
+    reader = SCENE_READERS[kind]
+    resolution = kwargs.pop("resolution", -1)
+    info = reader(**kwargs)
+    return Scene(info, model_path=model_path, resolution=resolution)
+
+
+def _resize(img, w, h):
+    from PIL import Image
+    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    return np.asarray(pil.resize((w, h)), np.float32) / 255.0
+
+
+def _resize_nearest(arr, w, h):
+    from PIL import Image
+    pil = Image.fromarray(arr.astype(np.int32), mode="I")
+    return np.asarray(pil.resize((w, h), Image.NEAREST), np.int32)

@@ -1,0 +1,68 @@
+"""Reconstruction losses.
+
+Pins the exact formulations of the reference (``utils/loss_utils.py:1-64``,
+``utils/image_utils.py:9``): L1/L2, the 11×11 σ=1.5 windowed SSIM, PSNR.
+Channels-last images [H, W, C]; everything jit/vmap-friendly.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def l1_loss(pred, target):
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def l2_loss(pred, target):
+    return jnp.mean((pred - target) ** 2)
+
+
+def psnr(pred, target, axis=None):
+    """PSNR in dB; reference computes per-image mean over flattened pixels."""
+    mse = jnp.mean((pred - target) ** 2, axis=axis)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_window(window_size: int, sigma: float):
+    xs = [math.exp(-((x - window_size // 2) ** 2) / (2.0 * sigma ** 2))
+          for x in range(window_size)]
+    s = sum(xs)
+    return tuple(x / s for x in xs)
+
+
+def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
+    """Windowed SSIM, separable Gaussian window (reference loss_utils.ssim).
+
+    img: [H, W, C] in [0,1]. Uses SAME padding like the reference's conv2d
+    (padding=window_size//2).
+    """
+    w = jnp.asarray(_gaussian_window(window_size, sigma), img1.dtype)
+
+    def blur(x):
+        # separable depthwise conv via two 1-D convolutions
+        x = jnp.moveaxis(x, -1, 0)                      # [C, H, W]
+        x = jax.vmap(lambda ch: jax.scipy.signal.convolve2d(
+            ch, w[:, None] * w[None, :], mode="same"))(x)
+        return jnp.moveaxis(x, 0, -1)
+
+    mu1, mu2 = blur(img1), blur(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = blur(img1 * img1) - mu1_sq
+    sigma2_sq = blur(img2 * img2) - mu2_sq
+    sigma12 = blur(img1 * img2) - mu1_mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+    return jnp.mean(ssim_map)
+
+
+def photometric_loss(pred, target, lambda_dssim: float = 0.2):
+    """(1−λ)·L1 + λ·(1−SSIM) — the stage-1 RGB loss (train.py:116-118)."""
+    return ((1.0 - lambda_dssim) * l1_loss(pred, target)
+            + lambda_dssim * (1.0 - ssim(pred, target)))

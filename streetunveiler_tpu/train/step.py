@@ -1,0 +1,145 @@
+"""The jitted training step — the reference's hot loop folded into one XLA
+program (SURVEY.md §7.1.2, reference ``train.py:62-200``).
+
+One ``train_step`` call = render + all losses + backward + Adam update +
+densification-stat accumulation. Iteration-dependent schedule gates (λ_dist
+after 27.5k, λ_normal after 30k, shrink after 31k, SH warmup, xyz LR decay)
+are traced ``jnp.where`` gates so the step compiles exactly once.
+Densify/prune/opacity-reset run between steps at the reference intervals
+(also jitted, fixed shapes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OptimizationParams
+from ..models.gaussians import (SurfelParams, SurfelState,
+                                add_densification_stats)
+from ..renderer import render
+from ..scene.cameras import Camera
+from .losses import l1_loss, psnr, ssim
+from .optim import AdamState, adam_init, adam_update
+from .schedule import expon_lr
+
+
+def make_lrs(opt: OptimizationParams, iteration, spatial_scale):
+    """Per-parameter LR pytree (reference ``training_setup`` :171-186 and
+    ``update_learning_rate``)."""
+    xyz_lr = expon_lr(iteration,
+                      opt.position_lr_init * spatial_scale,
+                      opt.position_lr_final * spatial_scale,
+                      lr_delay_mult=opt.position_lr_delay_mult,
+                      max_steps=opt.position_lr_max_steps)
+    return SurfelParams(
+        xyz=xyz_lr,
+        features_dc=jnp.float32(opt.feature_lr),
+        features_rest=jnp.float32(opt.feature_lr / 20.0),
+        scaling=jnp.float32(opt.scaling_lr),
+        rotation=jnp.float32(opt.rotation_lr),
+        opacity=jnp.float32(opt.opacity_lr),
+    )
+
+
+def stage1_loss(state: SurfelState, camera: Camera, gt_image, bg,
+                iteration, opt: OptimizationParams, sky_params=None,
+                sky_image=None, center2d_offset=None, interpret=None,
+                duplicate_capacity=None):
+    """Full stage-1 loss (train.py:109-148). Returns (loss, aux).
+
+    ``sky_params``: SkyParams trained jointly — the sky composites behind
+    the splats, ``image = render + sky·(1−α)`` (train.py:114-115).
+    """
+    active_sh = jnp.minimum(iteration // 1000, state.sh_degree)
+    res = render(camera, state, bg, active_sh_degree=active_sh,
+                 center2d_offset=center2d_offset, interpret=interpret,
+                 duplicate_capacity=duplicate_capacity)
+
+    image = res.render
+    if sky_params is not None:
+        from ..models.sky import render_sky
+        c2w = jnp.linalg.inv(camera.w2c)
+        sky_image = render_sky(sky_params, camera.height, camera.width,
+                               camera.K, c2w)
+    if sky_image is not None:
+        image = res.render + sky_image * (1.0 - res.rend_alpha)[..., None]
+
+    ll1 = l1_loss(image, gt_image)
+    lssim = ssim(image, gt_image)
+    loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1.0 - lssim)
+
+    lambda_normal = jnp.where(iteration > opt.normal_consist_from_iter,
+                              opt.lambda_normal, 0.0)
+    normal_error = 1.0 - jnp.sum(res.rend_normal * res.surf_normal, axis=-1)
+    loss = loss + lambda_normal * jnp.mean(normal_error)
+
+    lambda_dist = jnp.where(iteration > opt.semantic_dist_from_iter,
+                            opt.lambda_dist, 0.0)
+    loss = loss + lambda_dist * jnp.mean(res.rend_dist)
+
+    lambda_shrink = jnp.where(iteration > opt.shrinking_from_iter,
+                              opt.lambda_shrink, 0.0)
+    mean_op = jnp.sum(state.get_opacity()) / jnp.maximum(state.num_alive, 1)
+    loss = loss + lambda_shrink * mean_op
+
+    aux = dict(image=image, l1=ll1, ssim=lssim, radii=res.radii,
+               psnr=psnr(jnp.clip(image, 0, 1), gt_image))
+    return loss, aux
+
+
+@partial(jax.jit, static_argnames=("opt", "interpret", "duplicate_capacity"))
+def train_step(state: SurfelState, opt_state: AdamState, camera: Camera,
+               gt_image, bg, iteration, opt: OptimizationParams,
+               sky_params=None, sky_opt_state=None, sky_image=None,
+               interpret: bool | None = None,
+               duplicate_capacity: int | None = None,
+               sky_lr: float = 1e-4):
+    """One optimization step (surfels + optional joint sky model).
+
+    Returns (state, opt_state, sky_params, sky_opt_state, metrics); the sky
+    pair passes through as None when no sky model is trained.
+    """
+    zeros2d = jnp.zeros((state.capacity, 2))
+
+    def loss_fn(params, c2d_off, sky_p):
+        st = dataclasses.replace(state, params=params)
+        return stage1_loss(st, camera, gt_image, bg, iteration, opt,
+                           sky_params=sky_p, sky_image=sky_image,
+                           center2d_offset=c2d_off, interpret=interpret,
+                           duplicate_capacity=duplicate_capacity)
+
+    argnums = (0, 1, 2) if sky_params is not None else (0, 1)
+    out = jax.value_and_grad(loss_fn, argnums=argnums, has_aux=True)(
+        state.params, zeros2d, sky_params)
+    (loss, aux) = out[0]
+    grads, screen_grads = out[1][0], out[1][1]
+
+    lrs = make_lrs(opt, iteration, state.spatial_scale)
+    new_params, opt_state = adam_update(grads, opt_state, state.params, lrs)
+    state = dataclasses.replace(state, params=new_params)
+
+    if sky_params is not None:
+        sky_grads = out[1][2]
+        sky_lrs = jax.tree.map(lambda _: jnp.float32(sky_lr), sky_params)
+        sky_params, sky_opt_state = adam_update(
+            sky_grads, sky_opt_state, sky_params, sky_lrs,
+            eps=1e-8)  # reference sky Adam uses default torch eps
+
+    # densification statistics (train.py:166-169); gated off after
+    # densify_until_iter to match the reference bookkeeping
+    track = iteration < opt.densify_until_iter
+    visible = (aux["radii"] > 0) & track
+    state = add_densification_stats(state, screen_grads, aux["radii"], visible)
+
+    metrics = dict(loss=loss, l1=aux["l1"], ssim=aux["ssim"],
+                   psnr=aux["psnr"], n_alive=state.num_alive)
+    return state, opt_state, sky_params, sky_opt_state, metrics
+
+
+def init_optimizer(state: SurfelState) -> AdamState:
+    return adam_init(state.params)

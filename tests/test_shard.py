@@ -1,0 +1,72 @@
+"""Multi-device tile/data-parallel training on the virtual CPU mesh
+(SURVEY.md §4c — "test multi-node without a real cluster")."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streetunveiler_tpu.config import OptimizationParams
+from streetunveiler_tpu.models.gaussians import create_from_pcd
+from streetunveiler_tpu.parallel.shard import make_mesh, make_sharded_train_step
+from streetunveiler_tpu.renderer import render
+from streetunveiler_tpu.scene.cameras import Camera
+from streetunveiler_tpu.train.step import init_optimizer
+
+
+def setup(n=50, W=32, H=64, f=30.0, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                    rng.uniform(3, 8, n)], 1).astype(np.float32)
+    cols = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    state = create_from_pcd(pts, cols, rng.integers(0, 6, n),
+                            spatial_scale=4.0, capacity=64)
+    K = jnp.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], jnp.float32)
+    return state, K, W, H
+
+
+def test_requires_8_devices():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+
+
+def test_slab_render_matches_full():
+    """Principal-point-shifted slab renders == cropped full render."""
+    state, K, W, H = setup()
+    bg = jnp.array([0.2, 0.1, 0.0])
+    cam = Camera(w2c=jnp.eye(4), K=K, width=W, height=H)
+    full = render(cam, state, bg).render
+    n_slab = 4
+    slab = H // n_slab
+    parts = []
+    for i in range(n_slab):
+        ci = Camera(w2c=jnp.eye(4), K=K.at[1, 2].add(-float(i * slab)),
+                    width=W, height=slab)
+        parts.append(render(ci, state, bg).render)
+    tiled = jnp.concatenate(parts, axis=0)
+    np.testing.assert_allclose(np.array(tiled), np.array(full), atol=1e-5)
+
+
+def test_sharded_step_matches_loss_and_runs():
+    state, K, W, H = setup()
+    opt = OptimizationParams()
+    mesh = make_mesh(2, 4)
+    step = make_sharded_train_step(mesh, opt, W, H)
+    opt_state = init_optimizer(state)
+    B = 2
+    w2c = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+    Kb = jnp.broadcast_to(K, (B, 3, 3))
+    rng = np.random.default_rng(3)
+    gt = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32)
+    bg = jnp.zeros(3)
+
+    s1, o1, m1 = step(state, opt_state, w2c, Kb, gt, bg, jnp.asarray(1))
+    assert np.isfinite(float(m1["loss"]))
+    # params actually moved
+    assert float(jnp.abs(s1.params.xyz - state.params.xyz).max()) > 0
+    # second step runs from updated state
+    s2, o2, m2 = step(s1, o1, w2c, Kb, gt, bg, jnp.asarray(2))
+    assert np.isfinite(float(m2["loss"]))
+    # densification stats accumulated through the sharded path
+    assert float(s2.denom.max()) > 0
