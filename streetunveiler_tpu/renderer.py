@@ -125,3 +125,40 @@ def render(camera: Camera, state: SurfelState, bg,
         expected_depth=out.expected_depth,
         median_depth=out.median_depth,
     )
+
+
+def semantic_class_mask(state: SurfelState, class_bits: int,
+                        reverse: bool = True):
+    """Opacity mask for bitmask semantic filtering (reference
+    ``gaussian_renderer/__init__.py:87-94``): reverse=True keeps surfels
+    *in* the class, reverse=False keeps the complement."""
+    m = state.semantic_mask(class_bits)
+    return m if reverse else ~m
+
+
+def render_semantic(camera: Camera, state: SurfelState,
+                    num_classes: int = 6, sky_index: int = 4,
+                    scale_modifier: float = 1.0, opacity_mask=None,
+                    center2d_offset=None, interpret: bool | None = None,
+                    duplicate_capacity: int | None = None):
+    """Semantic probability rendering (reference ``render_semantic`` :327).
+
+    Splats each surfel's one-hot class vector as color, 3 channels per
+    pass, with the sky-class prior as background (empty pixels read as
+    sky). Returns [H, W, num_classes] composited probabilities.
+    """
+    onehot = jax.nn.one_hot(state.semantics, num_classes, dtype=jnp.float32)
+    chunks = []
+    for c0 in range(0, num_classes, 3):
+        width = min(3, num_classes - c0)
+        colors = jnp.zeros((state.capacity, 3))
+        colors = colors.at[:, :width].set(onehot[:, c0:c0 + width])
+        bg = jnp.zeros(3)
+        if c0 <= sky_index < c0 + width:
+            bg = bg.at[sky_index - c0].set(1.0)
+        res = render(camera, state, bg, scale_modifier=scale_modifier,
+                     opacity_mask=opacity_mask, colors_override=colors,
+                     center2d_offset=center2d_offset, interpret=interpret,
+                     duplicate_capacity=duplicate_capacity)
+        chunks.append(res.render[..., :width])
+    return jnp.concatenate(chunks, axis=-1)

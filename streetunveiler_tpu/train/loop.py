@@ -40,11 +40,16 @@ def train_scene(scene, state: SurfelState, opt: OptimizationParams,
                 iterations: Optional[int] = None,
                 save_iterations=(), log_every: int = 200,
                 duplicate_capacity: Optional[int] = None,
+                use_semantics: bool = False,
                 seed: int = 0, callback=None):
     """Run the stage-1 loop. Returns (state, sky_params, reports)."""
     iterations = iterations or opt.iterations
     cams = scene.train_cameras
     images = [jnp.asarray(img) for img in scene.train_images]
+    semantics = None
+    if use_semantics and opt.enable_semantic_loss:
+        semantics = [None if s is None else jnp.asarray(s)
+                     for s in scene.train_semantics]
     n_cams = len(cams)
     # reference sets the densify interval dynamically (train.py:56)
     densification_interval = max(1, int(1.15 * n_cams))
@@ -66,9 +71,12 @@ def train_scene(scene, state: SurfelState, opt: OptimizationParams,
         idx = int(order.pop())
         it = jnp.asarray(iteration)
 
+        gt_sem = semantics[idx] if semantics is not None else None
         state, opt_state, sky_params, sky_opt_state, metrics = train_step(
             state, opt_state, cams[idx], images[idx], bg, it, opt,
             sky_params=sky_params, sky_opt_state=sky_opt_state,
+            gt_semantic=gt_sem,
+            class_dist=iteration > opt.semantic_dist_from_iter,
             duplicate_capacity=duplicate_capacity)
         window_iters += 1
 

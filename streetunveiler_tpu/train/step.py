@@ -46,14 +46,33 @@ def make_lrs(opt: OptimizationParams, iteration, spatial_scale):
     )
 
 
+SEMANTIC_CLASS_WEIGHTS = (1.0, 1.0, 1.0, 1.0, 0.2, 1.0)  # sky down-weighted
+
+
+def semantic_ce_loss(probs, gt_labels, weights=SEMANTIC_CLASS_WEIGHTS):
+    """Cross entropy treating composited class probabilities as logits —
+    the reference feeds ``render_semantics`` straight into
+    ``F.cross_entropy`` (train.py:88-91), log-softmax included."""
+    logp = jax.nn.log_softmax(probs, axis=-1)
+    onehot = jax.nn.one_hot(gt_labels, probs.shape[-1], dtype=jnp.float32)
+    w = jnp.asarray(weights)
+    return -jnp.mean(jnp.sum(w * onehot * logp, axis=-1))
+
+
 def stage1_loss(state: SurfelState, camera: Camera, gt_image, bg,
                 iteration, opt: OptimizationParams, sky_params=None,
-                sky_image=None, center2d_offset=None, interpret=None,
+                sky_image=None, gt_semantic=None, class_dist: bool = False,
+                center2d_offset=None, interpret=None,
                 duplicate_capacity=None):
-    """Full stage-1 loss (train.py:109-148). Returns (loss, aux).
+    """Full stage-1 loss (train.py:84-148). Returns (loss, aux).
 
     ``sky_params``: SkyParams trained jointly — the sky composites behind
     the splats, ``image = render + sky·(1−α)`` (train.py:114-115).
+    ``gt_semantic``: [H,W] int class labels enables the semantic CE loss
+    and (after ``semantic_dist_from_iter``) the per-class distortion
+    renders. The reference backwards the semantic loss separately before
+    the photometric one (train.py:107) purely as a memory optimization —
+    a single summed backward produces the identical gradients.
     """
     active_sh = jnp.minimum(iteration // 1000, state.sh_degree)
     res = render(camera, state, bg, active_sh_degree=active_sh,
@@ -87,15 +106,42 @@ def stage1_loss(state: SurfelState, camera: Camera, gt_image, bg,
     mean_op = jnp.sum(state.get_opacity()) / jnp.maximum(state.num_alive, 1)
     loss = loss + lambda_shrink * mean_op
 
+    sem_loss = jnp.float32(0.0)
+    if gt_semantic is not None and opt.enable_semantic_loss:
+        from ..renderer import render_semantic, semantic_class_mask
+        probs = render_semantic(camera, state, interpret=interpret,
+                                duplicate_capacity=duplicate_capacity)
+        sem_loss = semantic_ce_loss(probs, gt_semantic)
+        loss = loss + opt.semantic_loss_ratio * sem_loss
+
+        # per-class distortion on class-only renders, sky excluded
+        # (train.py:94-105): 5 extra rasterizations. ``class_dist`` is a
+        # *static* gate the training loop flips at semantic_dist_from_iter
+        # so the extra renders only exist in the late-phase executable.
+        if class_dist:
+            from ..utils.semantics import CONCERNED_IND
+            sky_idx = CONCERNED_IND["sky"]
+            for ci in range(len(SEMANTIC_CLASS_WEIGHTS)):
+                if ci == sky_idx:
+                    continue
+                cmask = semantic_class_mask(state, 1 << ci, reverse=True)
+                cres = render(camera, state, bg, active_sh_degree=active_sh,
+                              opacity_mask=cmask, interpret=interpret,
+                              duplicate_capacity=duplicate_capacity)
+                loss = loss + opt.lambda_dist * jnp.mean(cres.rend_dist)
+
     aux = dict(image=image, l1=ll1, ssim=lssim, radii=res.radii,
-               psnr=psnr(jnp.clip(image, 0, 1), gt_image))
+               psnr=psnr(jnp.clip(image, 0, 1), gt_image),
+               semantic=sem_loss)
     return loss, aux
 
 
-@partial(jax.jit, static_argnames=("opt", "interpret", "duplicate_capacity"))
+@partial(jax.jit, static_argnames=("opt", "class_dist", "interpret",
+                                   "duplicate_capacity"))
 def train_step(state: SurfelState, opt_state: AdamState, camera: Camera,
                gt_image, bg, iteration, opt: OptimizationParams,
                sky_params=None, sky_opt_state=None, sky_image=None,
+               gt_semantic=None, class_dist: bool = False,
                interpret: bool | None = None,
                duplicate_capacity: int | None = None,
                sky_lr: float = 1e-4):
@@ -110,6 +156,7 @@ def train_step(state: SurfelState, opt_state: AdamState, camera: Camera,
         st = dataclasses.replace(state, params=params)
         return stage1_loss(st, camera, gt_image, bg, iteration, opt,
                            sky_params=sky_p, sky_image=sky_image,
+                           gt_semantic=gt_semantic, class_dist=class_dist,
                            center2d_offset=c2d_off, interpret=interpret,
                            duplicate_capacity=duplicate_capacity)
 
@@ -137,7 +184,8 @@ def train_step(state: SurfelState, opt_state: AdamState, camera: Camera,
     state = add_densification_stats(state, screen_grads, aux["radii"], visible)
 
     metrics = dict(loss=loss, l1=aux["l1"], ssim=aux["ssim"],
-                   psnr=aux["psnr"], n_alive=state.num_alive)
+                   psnr=aux["psnr"], n_alive=state.num_alive,
+                   semantic=aux["semantic"])
     return state, opt_state, sky_params, sky_opt_state, metrics
 
 
