@@ -1,0 +1,83 @@
+"""Paired-directory evaluation — reference ``eval_lpips.py`` +
+``eval_lpips_fid.sh`` protocol.
+
+``evaluate_dirs`` walks two image directories pairwise (sorted name order,
+like the reference) and reports mean PSNR/SSIM, plus LPIPS when a weight
+file is supplied (evaluation/lpips.py) and FID when a feature extractor is
+supplied. The reference's flag inconsistency (``--reference_path`` vs
+``--gt_path``, SURVEY.md §7.4) is fixed: one ``gt`` argument.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..train.losses import psnr, ssim
+
+
+def _load_dir(path):
+    from PIL import Image
+    names = sorted(f for f in os.listdir(path)
+                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    for n in names:
+        yield n, np.asarray(Image.open(os.path.join(path, n)).convert("RGB"),
+                            np.float32) / 255.0
+
+
+def evaluate_dirs(render_dir: str, gt_dir: str,
+                  lpips_weights: Optional[str] = None) -> dict:
+    lp = None
+    if lpips_weights and os.path.exists(lpips_weights):
+        from .lpips import lpips_fn
+        lp = lpips_fn(lpips_weights)
+
+    psnrs, ssims, lpipss = [], [], []
+    gt_files = dict(_load_dir(gt_dir))
+    for name, img in _load_dir(render_dir):
+        if name not in gt_files:
+            continue
+        gt = gt_files[name]
+        a, b = jnp.asarray(img), jnp.asarray(gt)
+        psnrs.append(float(psnr(a, b)))
+        ssims.append(float(ssim(a, b)))
+        if lp is not None:
+            lpipss.append(float(lp(a, b)))
+    out = {"n": len(psnrs), "psnr": float(np.mean(psnrs)) if psnrs else None,
+           "ssim": float(np.mean(ssims)) if ssims else None}
+    if lpipss:
+        out["lpips"] = float(np.mean(lpipss))
+    return out
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
+    """FID's Fréchet distance between two Gaussians (the math half of the
+    reference's pytorch_fid protocol; pair with any feature extractor)."""
+    from scipy import linalg
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean))
+
+
+def activation_stats(features: np.ndarray):
+    """features [N, D] → (mu, sigma) for frechet_distance."""
+    mu = features.mean(axis=0)
+    sigma = np.cov(features, rowvar=False)
+    return mu, sigma
+
+
+def fid_from_dirs(render_dir: str, gt_dir: str,
+                  feature_fn: Callable[[np.ndarray], np.ndarray]) -> float:
+    """FID over two dirs given a pluggable image→feature extractor
+    (e.g. an InceptionV3 loaded from a local checkpoint)."""
+    def feats(d):
+        return np.stack([np.asarray(feature_fn(img))
+                         for _, img in _load_dir(d)])
+    return frechet_distance(*activation_stats(feats(render_dir)),
+                            *activation_stats(feats(gt_dir)))

@@ -40,7 +40,7 @@ def default_duplicate_capacity(n_surfels: int, width: int, height: int,
 
 def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
               settings: RasterizeSettings, bg=None,
-              max_tiles_per_surfel: int = 32,
+              max_tiles_per_surfel: int = 16,
               duplicate_capacity: int | None = None,
               center2d_offset=None,
               interpret: bool | None = None) -> RenderOutput:
@@ -74,12 +74,15 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
                           TILE_W, TILE_H, max_tiles_per_surfel)
     aligned = build_aligned(binning, n, S_CHUNK, duplicate_capacity)
 
-    geomT_ps, qT_ps = pack_geometry(sur, n)
-    geomT = jnp.take(geomT_ps, aligned.surfel_idx, axis=1)
-    qT = jnp.take(qT_ps, aligned.surfel_idx, axis=1)
+    # row-gather the per-duplicate records (slice-granular on TPU), then
+    # one transpose to the lane-major layout the kernel streams
+    rec_rows = pack_geometry(sur, n)                      # [N+1, REC]
+    rec = jnp.take(rec_rows, aligned.surfel_idx, axis=0)  # [cap, REC]
+    recT = rec.T
 
     num_tiles = aligned.num_tiles_x * aligned.num_tiles_y
-    acc, lk = blend_core(geomT, qT, aligned.chunk_offsets, num_tiles,
+    acc, lk = blend_core(recT, aligned.tile_of_chunk, aligned.first_of_tile,
+                         aligned.last_of_tile, num_tiles,
                          aligned.num_tiles_x, settings, interpret)
 
     # [T, PIX, CH] → [CH, H, W]

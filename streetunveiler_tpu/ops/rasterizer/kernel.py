@@ -3,30 +3,36 @@
 The TPU-native replacement for the reference's CUDA tile renderer
 (SURVEY.md §2.3 N1, §3.5) — designed for the hardware, not translated:
 
-* 16×16 pixel tiles → P=256 pixels on *sublanes*; surfel chunks of S=128
-  on *lanes*. With surfels on lanes, per-surfel attribute records stream
-  from HBM as lane-aligned [16, 128] slices of a transposed [16, cap]
-  array — no gathers and no relayouts on-chip.
+* 16×32 pixel tiles → P=512 pixels on *sublanes*; surfel chunks of S=128
+  on *lanes*. With surfels on lanes, per-duplicate records stream from
+  HBM as lane-aligned [24, 128] slices of one transposed [24, cap] array
+  — a single DMA per chunk, no gathers and no relayouts on-chip.
+* Host-side index plumbing is strictly *row-major*: the per-duplicate
+  record table is gathered as [cap, 24] rows (TPU gathers/scatters are
+  slice-granular along the leading axis; a lane-axis gather of the same
+  data costs ~20× more) and transposed once for the kernel.
 * Pair math (ray–plane intersection, Gaussian falloff) on the VPU via the
   shared ``blendmath`` formulas; broadcasting [1,S] × [P,1] → [P,S].
 * Front-to-back transmittance via *triangular matmuls on the MXU*:
-  cumulative products in log space (T = exp(logα-prefix)) and prefix sums
-  for the depth-distortion accumulator — [256,128]×[128,128] matmuls.
-* Per-surfel channel accumulation (color, normal) as one [P,S]×[S,C]
-  MXU matmul per chunk.
+  cumulative products in log space and distortion prefix sums —
+  [512,128]×[128,128] matmuls at Precision.HIGHEST (single-pass bf16
+  visibly corrupts the log-space prefixes).
 * Early termination: exact reference semantics (a surfel that would push
-  T below 1e-4 is dropped and freezes the pixel) via masked cumulative
-  triggers; the whole tile stops once every pixel is done.
+  T below 1e-4 is dropped and freezes the pixel); the tile stops once
+  every pixel is done, draining the in-flight DMA (an undrained DMA
+  corrupts the next grid step's semaphores — device abort).
 * Backward runs in *reverse* chunk order with suffix accumulators — no
   replay buffers. Forward saves one int32 per pixel (the last composited
   duplicate index, CUDA's ``n_contrib``) so the backward reconstructs the
   exact composited set. Per-pair input gradients come from ``jax.vjp`` of
   the shared pair function *inside* the kernel, so forward and backward
   can never drift apart. The distortion backward needs only per-pixel
-  totals (∂L/∂m_k = 2ω_k(m_k·A_tot − M1_tot)), all saved in the forward
+  totals (∂L/∂m_k = 2ω_k(m_k·A_tot − M1_tot)) saved in the forward
   accumulator — no extra residuals.
-* Chunks are double-buffered: the next chunk's DMA is issued before the
-  current chunk is blended.
+
+Packed per-duplicate record rows (REC=24; must match ``pack_geometry``):
+  0-8 rows of M, 9-10 projected center, 11 center depth, 12 opacity,
+  13 valid flag, 14-16 color, 17-19 view normal, 20-23 pad.
 
 Channel layout of the per-tile accumulator output [PIX, CH=12]:
   0-2 color, 3-5 view-space normal, 6 alpha, 7 expected-depth accum,
@@ -47,13 +53,12 @@ from .blendmath import map_depth, pair_alpha_depth
 from .types import MEDIAN_T, T_EPS
 
 TILE_H = 16
-TILE_W = 16
-PIX = TILE_H * TILE_W          # 256 pixels (sublanes) per tile
+TILE_W = 32
+PIX = TILE_H * TILE_W          # 512 pixels (sublanes) per tile
 S_CHUNK = 128                  # surfels (lanes) per chunk
-GEOM_ROWS = 16                 # packed per-duplicate geometry record rows
-Q_ROWS = 8                     # packed channel rows (color 3 + normal 3 + pad)
+REC = 24                       # packed per-duplicate record rows
+Q_ROW0 = 14                    # first channel row (color) within the record
 CH = 12                        # accumulator channels (see module docstring)
-DG_ROWS = GEOM_ROWS + Q_ROWS   # backward per-duplicate gradient record rows
 
 
 def _prefix_mat(s, mode, dtype=jnp.float32):
@@ -68,17 +73,19 @@ def _prefix_mat(s, mode, dtype=jnp.float32):
     return op.astype(dtype)
 
 
-def _mm(a, b, contract):
-    """dot_general with true-f32 accumulation; contract = ((lhs,), (rhs,)).
+def _mm(a, b, contract, precision=jax.lax.Precision.HIGHEST):
+    """dot_general with f32 accumulation; contract = ((lhs,), (rhs,)).
 
-    Precision.HIGHEST forces the bf16x6 decomposition on the MXU — the
-    default single-pass bf16 loses ~8 mantissa bits, which is visible in
-    the log-space transmittance prefixes (1e-3-level image errors).
+    Transmittance prefixes need ≥bf16x3 passes on the MXU (single-pass
+    bf16 loses ~8 mantissa bits → 1e-3-level image errors); regularizer
+    prefixes (distortion) tolerate the fast path.
     """
     return jax.lax.dot_general(
         a, b, dimension_numbers=(contract, ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        preferred_element_type=jnp.float32, precision=precision)
+
+
+_FAST = jax.lax.Precision.DEFAULT
 
 
 def _tile_pixel_coords(tile_idx, tiles_x):
@@ -91,99 +98,75 @@ def _tile_pixel_coords(tile_idx, tiles_x):
     return px, py
 
 
-def _geom_slices(geom):
-    """Split a [GEOM_ROWS, S] chunk into the pair_alpha_depth inputs.
+def _pair_fn(chunk, px, py, znear):
+    """Differentiable pair computation for one chunk: [REC,S] → α,t [P,S].
 
-    Row layout (must match ``pack_geometry``): 0-8 rows of M, 9-10
-    projected center, 11 center depth, 12 opacity, 13 valid flag.
-    """
-    m_rows = tuple(geom[i:i + 1, :] for i in range(9))
-    c2d = (geom[9:10, :], geom[10:11, :])
-    return m_rows, c2d, geom[11:12, :], geom[12:13, :], geom[13:14, :]
-
-
-def _pair_fn(geom, px, py, znear):
-    """Differentiable pair computation for one chunk: [16,S] → α,t [P,S]."""
-    m_rows, c2d, depth, opac, validf = _geom_slices(geom)
-    return pair_alpha_depth(m_rows, c2d, depth, opac, validf > 0.5,
-                            px, py, znear)
+    Reads the geometry rows (0-13) of the packed record."""
+    m_rows = tuple(chunk[i:i + 1, :] for i in range(9))
+    c2d = (chunk[9:10, :], chunk[10:11, :])
+    return pair_alpha_depth(m_rows, c2d, chunk[11:12, :], chunk[12:13, :],
+                            chunk[13:14, :] > 0.5, px, py, znear)
 
 
 # ----------------------------------------------------------------- forward
+#
+# The grid is the CHUNK STREAM, not the tile list: grid=(total_chunks,),
+# one straight-line kernel body per 128-surfel chunk, records delivered by
+# the standard Pallas block pipeline (auto double-buffered). Consecutive
+# chunks of the same tile revisit the same output block, which Pallas keeps
+# resident in VMEM (the matmul-accumulator pattern); per-pixel carry state
+# (transmittance, done flag) lives in scratch that persists across grid
+# steps and is reset on each tile's first chunk. A dynamic while_loop +
+# manual-DMA formulation of the same algorithm measured ~270µs/chunk in
+# loop overhead; this pipelined form removes it entirely.
 
-def _fwd_kernel(chunk_off_ref, geom_hbm, q_hbm, acc_ref, lk_ref,
-                geom_buf, q_buf, state_ref, dma_sems, *, tiles_x, znear, zfar):
-    # Vector state lives in VMEM refs (acc_ref / lk_ref / state_ref) and is
-    # updated in place; the while_loop carries only scalars — Mosaic cannot
-    # reconcile layouts of [P,1] vector loop carries.
+def _fwd_kernel(tile_of_ref, first_ref, rec_ref, acc_ref, lk_ref,
+                state_ref, *, tiles_x, znear, zfar):
     s = S_CHUNK
-    t = pl.program_id(0)
-    base = chunk_off_ref[t]
-    nch = chunk_off_ref[t + 1] - base
-    px, py = _tile_pixel_coords(t, tiles_x)
-    m_incl = _prefix_mat(s, "incl")
+    c = pl.program_id(0)
+    tile = tile_of_ref[c]
+    is_first = first_ref[c] > 0
+    px, py = _tile_pixel_coords(tile, tiles_x)
     m_excl = _prefix_mat(s, "excl")
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
 
-    def copies(k, slot):
-        start = (base + k) * s
-        g = pltpu.make_async_copy(geom_hbm.at[:, pl.ds(start, s)],
-                                  geom_buf.at[slot], dma_sems.at[2 * slot])
-        q = pltpu.make_async_copy(q_hbm.at[:, pl.ds(start, s)],
-                                  q_buf.at[slot], dma_sems.at[2 * slot + 1])
-        return g, q
-
-    def start_chunk(k, slot):
-        for c in copies(k, slot):
-            c.start()
-
-    def wait_chunk(k, slot):
-        for c in copies(k, slot):
-            c.wait()
-
-    acc_ref[0] = jnp.zeros((PIX, CH), jnp.float32)
-    lk_ref[0] = jnp.full((PIX, 1), -1, jnp.int32)
-    # state cols: 0 transmittance, 1 done flag
-    state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
-    state_ref[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
-
-    @pl.when(nch > 0)
+    @pl.when(is_first)
     def _():
-        start_chunk(0, 0)
+        acc_ref[0] = jnp.zeros((PIX, CH), jnp.float32)
+        lk_ref[0] = jnp.full((PIX, 1), -1, jnp.int32)
+        # state cols: 0 transmittance, 1 done flag
+        state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
+        state_ref[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
 
-    def cond(carry):
-        k, alldone = carry
-        return jnp.logical_and(k < nch, jnp.logical_not(alldone))
+    alldone = state_ref[0, 1] > 1.5      # sentinel: every pixel done
+    skip = jnp.logical_or(alldone, first_ref[c] < 0)  # −1 = tail chunk
 
-    def body(carry):
-        k, _ = carry
-        slot = k % 2
-
-        @pl.when(k + 1 < nch)
-        def _():
-            start_chunk(k + 1, (k + 1) % 2)
-
-        wait_chunk(k, slot)
-        geom = geom_buf[slot]
-        qc = q_buf[slot]
+    @pl.when(jnp.logical_not(skip))
+    def _():
+        chunk = rec_ref[:, :]
+        qc = chunk[Q_ROW0:Q_ROW0 + 6]
         acc = acc_ref[0]
         t_carry = state_ref[:, 0:1]
         done = state_ref[:, 1:2] > 0.5
+
+        a, tdep = _pair_fn(chunk, px, py, znear)        # [P, S]
+        logom = jnp.log1p(-a)
+        t_excl = t_carry * jnp.exp(_mm(logom, m_excl, ((1,), (0,))))
+        t_after = t_excl * (1.0 - a)
+
+        # Early-termination set without a prefix pass: T is monotone along
+        # the chunk for a live pixel, so every contributing pair at or
+        # after the first trigger has t_after < T_EPS itself (the oracle's
+        # cumulative-trigger formulation is equivalent; parity-tested).
+        keep = (a > 0.0) & (t_after >= T_EPS) & jnp.logical_not(done)
+        trigger_any = jnp.any((a > 0.0) & (t_after < T_EPS), axis=1,
+                              keepdims=True)
+        w = jnp.where(keep, a * t_excl, 0.0)
+
         a_c = acc[:, 6:7]
         m1_c = acc[:, 9:10]
         m2_c = acc[:, 10:11]
-
-        a, tdep = _pair_fn(geom, px, py, znear)        # [P, S]
-        logom = jnp.log1p(-a)
-        t_after = t_carry * jnp.exp(_mm(logom, m_incl, ((1,), (0,))))
-        t_excl = t_carry * jnp.exp(_mm(logom, m_excl, ((1,), (0,))))
-
-        trigger = (a > 0.0) & (t_after < T_EPS)
-        dead_cnt = _mm(trigger.astype(jnp.float32), m_incl, ((1,), (0,)))
-        keep = (a > 0.0) & (dead_cnt < 0.5) & jnp.logical_not(done)
-        w = jnp.where(keep, a * t_excl, 0.0)
-
-        cn = acc[:, 0:6] + _mm(w, qc[:6], ((1,), (1,)))  # [P, 6]
+        cn = acc[:, 0:6] + _mm(w, qc, ((1,), (1,)))     # [P, 6]
         wsum = jnp.sum(w, axis=1, keepdims=True)
         alpha = a_c + wsum
         deptha = acc[:, 7:8] + jnp.sum(w * tdep, axis=1, keepdims=True)
@@ -191,9 +174,9 @@ def _fwd_kernel(chunk_off_ref, geom_hbm, q_hbm, acc_ref, lk_ref,
         m = map_depth(tdep, znear, zfar)
         wm = w * m
         wm2 = wm * m
-        a_excl = a_c + _mm(w, m_excl, ((1,), (0,)))
-        m1_excl = m1_c + _mm(wm, m_excl, ((1,), (0,)))
-        m2_excl = m2_c + _mm(wm2, m_excl, ((1,), (0,)))
+        a_excl = a_c + _mm(w, m_excl, ((1,), (0,)), _FAST)
+        m1_excl = m1_c + _mm(wm, m_excl, ((1,), (0,)), _FAST)
+        m2_excl = m2_c + _mm(wm2, m_excl, ((1,), (0,)), _FAST)
         dist = acc[:, 8:9] + jnp.sum(
             w * (m * m * a_excl + m2_excl - 2.0 * m * m1_excl),
             axis=1, keepdims=True)
@@ -207,150 +190,125 @@ def _fwd_kernel(chunk_off_ref, geom_hbm, q_hbm, acc_ref, lk_ref,
                         jnp.sum(jnp.where(onehot, tdep, 0.0), axis=1,
                                 keepdims=True), acc[:, 11:12])
 
-        gidx = (base + k) * s + iota_s
+        gidx = c * s + iota_s
         lk_ref[0] = jnp.maximum(
             lk_ref[0], jnp.max(jnp.where(keep, gidx, -1), axis=1,
                                keepdims=True))
 
         kept_logom = jnp.where(keep, logom, 0.0)
         t_out = t_carry * jnp.exp(jnp.sum(kept_logom, axis=1, keepdims=True))
-        done = jnp.logical_or(done, jnp.any(trigger, axis=1, keepdims=True))
+        done = jnp.logical_or(done, trigger_any)
 
         acc_ref[0] = jnp.concatenate(
             [cn, alpha, deptha, dist, m1, m2, med], axis=1)
         state_ref[:, 0:1] = t_out
-        state_ref[:, 1:2] = done.astype(jnp.float32)
-        return (k + 1, jnp.all(done))
-
-    k_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
-
-    # Early termination can exit the loop with the next chunk's DMA still in
-    # flight; it must be drained or its semaphore signal corrupts the next
-    # grid step's waits (observed as a device abort on dense scenes).
-    @pl.when(k_end < nch)
-    def _():
-        wait_chunk(k_end, k_end % 2)
+        # done-flag doubles as the tile-wide skip sentinel (2.0)
+        done_f = done.astype(jnp.float32)
+        state_ref[:, 1:2] = jnp.where(jnp.all(done), done_f + 1.0, done_f)
 
 
 # ---------------------------------------------------------------- backward
+#
+# Same pipelined chunk-stream structure as the forward, iterated in
+# REVERSE (grid step c' processes chunk capC−1−c'); suffix state resets on
+# each tile's *last* chunk (the first one visited in reverse). Sentinel
+# tail chunks produce zero gradients and pass state through unchanged, so
+# re-initializing at the true last chunk after the tail is a no-op.
 
-def _bwd_kernel(chunk_off_ref, geom_hbm, q_hbm, acc_ref, lk_ref, dacc_ref,
-                dgrad_hbm, dummy_ref, geom_buf, q_buf, dgrad_buf, state_ref,
-                dma_sems, *, tiles_x, znear, zfar):
+def _bwd_kernel(tile_of_ref, last_ref, rec_ref, acc_ref, lk_ref, dacc_ref,
+                dgrad_ref, state_ref, *, num_chunks, tiles_x, znear, zfar):
     s = S_CHUNK
-    t = pl.program_id(0)
-    base = chunk_off_ref[t]
-    nch = chunk_off_ref[t + 1] - base
-    px, py = _tile_pixel_coords(t, tiles_x)
-    m_sincl = _prefix_mat(s, "sincl")
+    c = num_chunks - 1 - pl.program_id(0)
+    tile = tile_of_ref[c]
+    px, py = _tile_pixel_coords(tile, tiles_x)
     m_sexcl = _prefix_mat(s, "sexcl")
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
 
+    a_tot = acc_ref[0][:, 6:7]
+
+    @pl.when(last_ref[c] > 0)
+    def _():
+        # state cols: 0 suffix transmittance U, 1 suffix Σ ωΩ
+        state_ref[:, 0:1] = 1.0 - a_tot
+        state_ref[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
+
+    # tail sentinel chunks only need zero gradients
+    @pl.when(last_ref[c] < 0)
+    def _():
+        dgrad_ref[:, :] = jnp.zeros((REC, s), jnp.float32)
+
+    @pl.when(last_ref[c] >= 0)
+    def _():
+        _bwd_chunk(c, tile_of_ref, rec_ref, acc_ref, lk_ref, dacc_ref,
+                   dgrad_ref, state_ref, px, py, m_sexcl, iota_s,
+                   znear, zfar)
+
+
+def _bwd_chunk(c, tile_of_ref, rec_ref, acc_ref, lk_ref, dacc_ref,
+               dgrad_ref, state_ref, px, py, m_sexcl, iota_s, znear, zfar):
+    s = S_CHUNK
+    a_tot = acc_ref[0][:, 6:7]
     gq = dacc_ref[0][:, 0:6]                 # [P, 6]
     galpha = dacc_ref[0][:, 6:7]
     gdepth = dacc_ref[0][:, 7:8]
     gdist = dacc_ref[0][:, 8:9]
     gm1 = dacc_ref[0][:, 9:10]
     gm2 = dacc_ref[0][:, 10:11]
-    a_tot = acc_ref[0][:, 6:7]
     m1_tot = acc_ref[0][:, 9:10]
     m2_tot = acc_ref[0][:, 10:11]
     lk = lk_ref[0]
+    u_in = state_ref[:, 0:1]
+    ssuf = state_ref[:, 1:2]
 
-    def in_copies(k, slot):
-        start = (base + k) * s
-        g = pltpu.make_async_copy(geom_hbm.at[:, pl.ds(start, s)],
-                                  geom_buf.at[slot], dma_sems.at[3 * slot])
-        q = pltpu.make_async_copy(q_hbm.at[:, pl.ds(start, s)],
-                                  q_buf.at[slot], dma_sems.at[3 * slot + 1])
-        return g, q
+    chunk = rec_ref[:, :]
+    qc = chunk[Q_ROW0:Q_ROW0 + 6]
 
-    def start_load(k, slot):
-        for c in in_copies(k, slot):
-            c.start()
+    pair = functools.partial(_pair_fn, px=px, py=py, znear=znear)
+    (a, tdep), pair_vjp = jax.vjp(pair, chunk)
 
-    def wait_load(k, slot):
-        for c in in_copies(k, slot):
-            c.wait()
+    gidx = c * s + iota_s
+    keep = (a > 0.0) & (gidx <= lk)
+    logom = jnp.log1p(-a)
+    klogom = jnp.where(keep, logom, 0.0)
+    # T_excl_j = T_final / Π_{kept i≥j}(1−α_i): inclusive reverse suffix
+    t_excl = u_in * jnp.exp(-(_mm(klogom, m_sexcl, ((1,), (0,)))
+                              + klogom))
+    u_out = u_in * jnp.exp(-jnp.sum(klogom, axis=1, keepdims=True))
+    w = jnp.where(keep, a * t_excl, 0.0)
 
-    def store_grad(k, slot):
-        start = (base + k) * s
-        return pltpu.make_async_copy(
-            dgrad_buf.at[slot], dgrad_hbm.at[:, pl.ds(start, s)],
-            dma_sems.at[3 * slot + 2])
+    m = map_depth(tdep, znear, zfar)
+    phi = (_mm(gq, qc, ((1,), (0,))) + galpha + gdepth * tdep
+           + gm1 * m + gm2 * m * m)
+    psi = m * m * a_tot - 2.0 * m * m1_tot + m2_tot
+    omega = phi + gdist * psi
+    womega = w * omega
+    ssuf_pair = ssuf + _mm(womega, m_sexcl, ((1,), (0,)))
+    ssuf_out = ssuf + jnp.sum(womega, axis=1, keepdims=True)
 
-    @pl.when(nch > 0)
-    def _():
-        start_load(nch - 1, (nch - 1) % 2)
+    da = jnp.where(keep, t_excl * omega - ssuf_pair / (1.0 - a), 0.0)
+    dmdt = (zfar * znear / (zfar - znear)) / jnp.maximum(tdep * tdep, 1e-12)
+    dt = w * (gdepth + (gm1 + 2.0 * m * gm2
+                        + 2.0 * gdist * (m * a_tot - m1_tot)) * dmdt)
 
-    # state cols: 0 suffix transmittance U, 1 suffix Σ ωΩ
-    state_ref[:, 0:1] = 1.0 - a_tot
-    state_ref[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
+    (drec,) = pair_vjp((da, dt))                     # [REC, S]
+    dq = _mm(gq, w, ((0,), (0,)))                    # [6, S]
+    dgrad_ref[:, :] = jnp.concatenate(
+        [drec[:Q_ROW0], drec[Q_ROW0:Q_ROW0 + 6] + dq,
+         drec[Q_ROW0 + 6:]], axis=0)
 
-    def cond(k):
-        return k >= 0
-
-    def body(k):
-        slot = k % 2
-        u_in = state_ref[:, 0:1]
-        ssuf = state_ref[:, 1:2]
-
-        @pl.when(k > 0)
-        def _():
-            start_load(k - 1, (k - 1) % 2)
-
-        wait_load(k, slot)
-        geom = geom_buf[slot]
-        qc = q_buf[slot]
-
-        pair = functools.partial(_pair_fn, px=px, py=py, znear=znear)
-        (a, tdep), pair_vjp = jax.vjp(pair, geom)
-
-        gidx = (base + k) * s + iota_s
-        keep = (a > 0.0) & (gidx <= lk)
-        logom = jnp.log1p(-a)
-        klogom = jnp.where(keep, logom, 0.0)
-        # T_excl_j = T_final / Π_{kept i≥j}(1−α_i): inclusive reverse suffix
-        t_excl = u_in * jnp.exp(-_mm(klogom, m_sincl, ((1,), (0,))))
-        u_out = u_in * jnp.exp(-jnp.sum(klogom, axis=1, keepdims=True))
-        w = jnp.where(keep, a * t_excl, 0.0)
-
-        m = map_depth(tdep, znear, zfar)
-        phi = (_mm(gq, qc[:6], ((1,), (0,))) + galpha + gdepth * tdep
-               + gm1 * m + gm2 * m * m)
-        psi = m * m * a_tot - 2.0 * m * m1_tot + m2_tot
-        omega = phi + gdist * psi
-        womega = w * omega
-        ssuf_pair = ssuf + _mm(womega, m_sexcl, ((1,), (0,)))
-        ssuf_out = ssuf + jnp.sum(womega, axis=1, keepdims=True)
-
-        da = jnp.where(keep, t_excl * omega - ssuf_pair / (1.0 - a), 0.0)
-        dmdt = (zfar * znear / (zfar - znear)) / jnp.maximum(tdep * tdep, 1e-12)
-        dt = w * (gdepth + (gm1 + 2.0 * m * gm2
-                            + 2.0 * gdist * (m * a_tot - m1_tot)) * dmdt)
-
-        (dgeom,) = pair_vjp((da, dt))                    # [16, S]
-        dq = _mm(gq, w, ((0,), (0,)))                    # [6, S]
-        pad = jnp.zeros((Q_ROWS - 6, s), jnp.float32)
-        dgrad_buf[slot] = jnp.concatenate([dgeom, dq, pad], axis=0)
-        store = store_grad(k, slot)
-        store.start()
-        store.wait()
-
-        state_ref[:, 0:1] = u_out
-        state_ref[:, 1:2] = ssuf_out
-        return k - 1
-
-    jax.lax.while_loop(cond, body, nch - 1)
-    dummy_ref[0, 0] = jnp.float32(0)
+    state_ref[:, 0:1] = u_out
+    state_ref[:, 1:2] = ssuf_out
 
 
 # ------------------------------------------------------------- public core
 
 class AlignedDuplicates(NamedTuple):
-    """Chunk-aligned duplicate stream for the kernels."""
+    """Chunk-aligned duplicate stream + chunk metadata for the kernels."""
     surfel_idx: jnp.ndarray    # [cap] int32, == n_surfels for padding slots
     chunk_offsets: jnp.ndarray  # [T+1] int32, units of chunks
+    tile_of_chunk: jnp.ndarray  # [cap_chunks] int32
+    first_of_tile: jnp.ndarray  # [cap_chunks] int32 1 = tile's first chunk
+    last_of_tile: jnp.ndarray   # [cap_chunks] int32 1 = tile's last chunk
     num_tiles_x: int
     num_tiles_y: int
     overflow: jnp.ndarray      # [] bool — capacity exceeded (duplicates lost)
@@ -362,93 +320,116 @@ def build_aligned(binning, n_surfels: int, s_chunk: int,
 
     ``binning``: TileBinning from tiles.bin_surfels. ``capacity`` is the
     static size of the aligned stream (in duplicates, multiple of s_chunk).
-    Padding slots point at the sentinel surfel index ``n_surfels`` whose
-    packed record is all-zero (valid=0 → never contributes; gradients
-    written there are dropped by the scatter).
+    Every tile owns at least one chunk (so its output block gets
+    initialized); padding slots point at the sentinel surfel index
+    ``n_surfels`` whose packed record is all-zero (valid=0 → never
+    contributes, zero gradients → dropped by the scatter).
     """
     off = binning.tile_offsets
     counts = off[1:] - off[:-1]
-    nchunks = -(-counts // s_chunk)
+    nchunks = jnp.maximum(-(-counts // s_chunk), 1)
     chunk_off_raw = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(nchunks).astype(jnp.int32)])
     # Clamp to capacity so an overflow degrades (tail tiles lose their
     # furthest duplicates) instead of DMA-ing out of bounds on device.
-    chunk_off = jnp.minimum(chunk_off_raw, capacity // s_chunk)
+    cap_chunks = capacity // s_chunk
+    chunk_off = jnp.minimum(chunk_off_raw, cap_chunks)
 
-    d_flat = binning.sorted_surfel.shape[0]
-    entry_tile = jnp.searchsorted(off, jnp.arange(d_flat, dtype=jnp.int32),
-                                  side="right").astype(jnp.int32) - 1
-    entry_tile = jnp.clip(entry_tile, 0, counts.shape[0] - 1)
-    pos = chunk_off[entry_tile] * s_chunk + (
-        jnp.arange(d_flat, dtype=jnp.int32) - off[entry_tile])
-    pos = jnp.where(binning.sorted_valid, pos, capacity)
+    # Gather formulation (TPU scatters serialize; a capacity-sized scatter
+    # costs ~1s at street scale). For every aligned slot, compute its
+    # source entry in the depth-sorted duplicate stream:
+    #   tile_of_chunk via a tiny scatter+cumsum over [cap_chunks],
+    #   src = off[tile] + (slot − chunk_off[tile]·s).
+    marks = jnp.zeros((cap_chunks,), jnp.int32).at[chunk_off[1:-1]].add(
+        1, mode="drop")
+    tile_of_chunk = jnp.cumsum(marks)
+    n_tiles = counts.shape[0]
+    tile_of_chunk = jnp.minimum(tile_of_chunk, n_tiles - 1)
 
-    aligned = jnp.full((capacity + 1,), n_surfels, jnp.int32)
-    aligned = aligned.at[pos].set(binning.sorted_surfel, mode="drop")
-    overflow = chunk_off_raw[-1] * s_chunk > capacity
-    return AlignedDuplicates(surfel_idx=aligned[:capacity],
+    cidx = jnp.arange(cap_chunks, dtype=jnp.int32)
+    # −1 marks stream-tail sentinel chunks: the kernels skip their compute
+    first_of_tile = jnp.where(
+        cidx >= chunk_off[-1], jnp.int32(-1),
+        (cidx == chunk_off[tile_of_chunk]).astype(jnp.int32))
+    # reverse-iteration state reset at a tile's true last chunk; tail
+    # sentinels are skipped (−1) and only emit zero gradients
+    last_of_tile = jnp.where(
+        cidx >= chunk_off[-1], jnp.int32(-1),
+        (cidx == chunk_off[tile_of_chunk + 1] - 1).astype(jnp.int32))
+
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    t_of = tile_of_chunk[slot // s_chunk]
+    local = slot - chunk_off[t_of] * s_chunk
+    in_tile = (local >= 0) & (local < counts[t_of]) & (
+        slot < chunk_off[-1] * s_chunk)
+    src = jnp.clip(off[t_of] + local, 0, binning.sorted_surfel.shape[0] - 1)
+    gathered = binning.sorted_surfel[src]
+    valid = in_tile & binning.sorted_valid[src]
+    aligned = jnp.where(valid, gathered, n_surfels)
+
+    overflow = chunk_off_raw[-1] > cap_chunks
+    return AlignedDuplicates(surfel_idx=aligned,
                              chunk_offsets=chunk_off,
+                             tile_of_chunk=tile_of_chunk,
+                             first_of_tile=first_of_tile,
+                             last_of_tile=last_of_tile,
                              num_tiles_x=binning.tiles_x,
                              num_tiles_y=binning.tiles_y,
                              overflow=overflow)
 
 
 def pack_geometry(sur, n_surfels: int):
-    """SurfelScreen → per-surfel packed records + channel rows.
+    """SurfelScreen → per-surfel packed records, ROW-major [N+1, REC].
 
-    Returns (geomT [GEOM_ROWS, N+1], qT [Q_ROWS, N+1]); column N is the
-    zero padding record gathered by alignment-padding slots.
+    Row N is the zero padding record gathered by alignment-padding slots.
+    The caller gathers rows by duplicate index (slice-granular, fast on
+    TPU) and transposes once for the kernels.
     """
     m_flat = sur.M.reshape(n_surfels, 9)
     validf = sur.valid.astype(jnp.float32)
     cols = [m_flat, sur.center2d, sur.depth[:, None], sur.opacity[:, None],
-            validf[:, None]]
-    geom = jnp.concatenate(cols, axis=1)
-    pad_cols = GEOM_ROWS - geom.shape[1]
-    geom = jnp.concatenate([geom, jnp.zeros((n_surfels, pad_cols))], axis=1)
-    geom = jnp.concatenate([geom, jnp.zeros((1, GEOM_ROWS))], axis=0)
-
-    c = sur.color.shape[-1]
-    q = jnp.concatenate([sur.color, sur.normal,
-                         jnp.zeros((n_surfels, Q_ROWS - 3 - c))], axis=1)
-    q = jnp.concatenate([q, jnp.zeros((1, Q_ROWS))], axis=0)
-    return geom.T, q.T
+            validf[:, None], sur.color, sur.normal]
+    rec = jnp.concatenate(cols, axis=1)
+    pad = REC - rec.shape[1]
+    rec = jnp.concatenate([rec, jnp.zeros((n_surfels, pad))], axis=1)
+    return jnp.concatenate([rec, jnp.zeros((1, REC))], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def blend_core(geomT, qT, chunk_offsets, num_tiles, tiles_x, settings,
-               interpret=False):
-    """Pallas blend over aligned duplicates.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def blend_core(recT, tile_of_chunk, first_of_tile, last_of_tile,
+               num_tiles, tiles_x, settings, interpret=False):
+    """Pallas blend over the aligned duplicate chunk stream.
 
-    geomT [GEOM_ROWS, cap] f32 (aligned duplicate records), qT [Q_ROWS, cap],
-    chunk_offsets [T+1] int32. Returns (acc [T, PIX, CH], lk [T, PIX, 1]).
+    recT [REC, cap] f32 (lane-major records); tile_of_chunk /
+    first_of_tile / last_of_tile [cap_chunks] int32 (see build_aligned).
+    Returns (acc [T, PIX, CH], lk [T, PIX, 1]).
     """
-    return _blend_fwd_call(geomT, qT, chunk_offsets, num_tiles, tiles_x,
-                           settings, interpret)
+    return _blend_fwd_call(recT, tile_of_chunk, first_of_tile,
+                           num_tiles, tiles_x, settings, interpret)
 
 
-def _blend_fwd_call(geomT, qT, chunk_offsets, num_tiles, tiles_x, settings,
-                    interpret):
+def _blend_fwd_call(recT, tile_of_chunk, first_of_tile, num_tiles, tiles_x,
+                    settings, interpret):
+    cap_chunks = tile_of_chunk.shape[0]
     kern = functools.partial(_fwd_kernel, tiles_x=tiles_x,
                              znear=settings.znear, zfar=settings.zfar)
     acc, lk = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(num_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
-                      pl.BlockSpec(memory_space=pltpu.HBM)],
+            num_scalar_prefetch=2,
+            grid=(cap_chunks,),
+            in_specs=[pl.BlockSpec((REC, S_CHUNK), lambda c, *_: (0, c),
+                                   memory_space=pltpu.VMEM)],
             out_specs=[
-                pl.BlockSpec((1, PIX, CH), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((1, PIX, CH),
+                             lambda c, tile_of, first: (tile_of[c], 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((1, PIX, 1),
+                             lambda c, tile_of, first: (tile_of[c], 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, GEOM_ROWS, S_CHUNK), jnp.float32),
-                pltpu.VMEM((2, Q_ROWS, S_CHUNK), jnp.float32),
                 pltpu.VMEM((PIX, 8), jnp.float32),
-                pltpu.SemaphoreType.DMA((4,)),
             ],
         ),
         out_shape=[
@@ -456,62 +437,59 @@ def _blend_fwd_call(geomT, qT, chunk_offsets, num_tiles, tiles_x, settings,
             jax.ShapeDtypeStruct((num_tiles, PIX, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(chunk_offsets, geomT, qT)
+    )(tile_of_chunk, first_of_tile, recT)
     return acc, lk
 
 
-def _blend_fwd(geomT, qT, chunk_offsets, num_tiles, tiles_x, settings,
-               interpret):
-    acc, lk = _blend_fwd_call(geomT, qT, chunk_offsets, num_tiles, tiles_x,
-                              settings, interpret)
-    return (acc, lk), (geomT, qT, chunk_offsets, acc, lk)
+def _blend_fwd(recT, tile_of_chunk, first_of_tile, last_of_tile,
+               num_tiles, tiles_x, settings, interpret=False):
+    acc, lk = _blend_fwd_call(recT, tile_of_chunk, first_of_tile,
+                              num_tiles, tiles_x, settings, interpret)
+    return (acc, lk), (recT, tile_of_chunk, last_of_tile, acc, lk)
 
 
 def _blend_bwd(num_tiles, tiles_x, settings, interpret, res, cts):
-    geomT, qT, chunk_offsets, acc, lk = res
+    recT, tile_of_chunk, last_of_tile, acc, lk = res
     dacc, _ = cts
-    cap = geomT.shape[1]
-    kern = functools.partial(_bwd_kernel, tiles_x=tiles_x,
+    cap_chunks = tile_of_chunk.shape[0]
+    kern = functools.partial(_bwd_kernel, num_chunks=cap_chunks,
+                             tiles_x=tiles_x,
                              znear=settings.znear, zfar=settings.zfar)
-    dgrad, _ = pl.pallas_call(
+    rev = lambda c: cap_chunks - 1 - c
+    dgrad = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(num_tiles,),
+            num_scalar_prefetch=2,
+            grid=(cap_chunks,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec((1, PIX, CH), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((REC, S_CHUNK),
+                             lambda c, *_: (0, rev(c)),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((1, PIX, CH),
+                             lambda c, tile_of, last: (tile_of[rev(c)], 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, PIX, CH), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((1, PIX, 1),
+                             lambda c, tile_of, last: (tile_of[rev(c)], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, PIX, CH),
+                             lambda c, tile_of, last: (tile_of[rev(c)], 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec((1, 1), lambda t, *_: (0, 0),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((REC, S_CHUNK), lambda c, *_: (0, rev(c)),
+                             memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, GEOM_ROWS, S_CHUNK), jnp.float32),
-                pltpu.VMEM((2, Q_ROWS, S_CHUNK), jnp.float32),
-                pltpu.VMEM((2, DG_ROWS, S_CHUNK), jnp.float32),
                 pltpu.VMEM((PIX, 8), jnp.float32),
-                pltpu.SemaphoreType.DMA((6,)),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((DG_ROWS, cap), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((REC, cap_chunks * S_CHUNK), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(chunk_offsets, geomT, qT, acc, lk, dacc)
+    )(tile_of_chunk, last_of_tile, recT, acc, lk, dacc)[0]
 
-    dgeomT = dgrad[:GEOM_ROWS]
-    dqT = dgrad[GEOM_ROWS:]
-    return dgeomT, dqT, None
+    return dgrad, None, None, None
 
 
 blend_core.defvjp(_blend_fwd, _blend_bwd)

@@ -41,7 +41,8 @@ def train_scene(scene, state: SurfelState, opt: OptimizationParams,
                 save_iterations=(), log_every: int = 200,
                 duplicate_capacity: Optional[int] = None,
                 use_semantics: bool = False,
-                seed: int = 0, callback=None):
+                seed: int = 0, callback=None, logger=None,
+                panel_every: int = 0):
     """Run the stage-1 loop. Returns (state, sky_params, reports)."""
     iterations = iterations or opt.iterations
     cams = scene.train_cameras
@@ -118,6 +119,22 @@ def train_scene(scene, state: SurfelState, opt: OptimizationParams,
             reports.append(rep)
             if callback:
                 callback(rep)
+            if logger is not None:
+                cam = cams[idx]
+                logger.scalars(iteration, {
+                    "train/loss": rep.loss, "train/psnr": rep.psnr,
+                    "train/l1": float(metrics["l1"]),
+                    "train/ssim": float(metrics["ssim"]),
+                    "train/semantic": float(metrics["semantic"]),
+                    "model/n_alive": rep.n_alive,
+                    "perf/iters_per_s": rep.iters_per_s,
+                    "perf/rays_per_s": rep.iters_per_s * cam.width
+                    * cam.height})
+                if panel_every and iteration % panel_every == 0:
+                    from ..renderer import render as _render
+                    res = _render(cams[0], state, bg)
+                    logger.image(iteration, "panels/render",
+                                 np.clip(np.asarray(res.render), 0, 1))
             t_window = time.perf_counter()
             window_iters = 0
 
