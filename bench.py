@@ -58,7 +58,7 @@ def main():
     st = RasterizeSettings(width=W, height=H, znear=0.2, zfar=100.0)
     bg = jnp.zeros(3)
     tgt = jnp.zeros((H, W, 3))
-    dup_cap = 6 * 1024 * 1024
+    dup_cap = 3 * 1024 * 1024
 
     def loss(*a):
         out = rasterize(*a, w2c, K, st, bg=bg, duplicate_capacity=dup_cap)

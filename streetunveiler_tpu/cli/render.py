@@ -80,31 +80,40 @@ def main(argv=None):
     for sub in ["renders", "gt", "depth", "normal", "semantic"]:
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
+    import jax
+
+    @jax.jit
+    def render_view(w2c, sky_p):
+        cam0 = scene.train_cameras[0]
+        cam = type(cam0)(w2c=w2c, K=cam0.K, width=cam0.width,
+                         height=cam0.height)
+        res = render(cam, state, bg)
+        img = res.render
+        if sky_p is not None:
+            from ..models.sky import render_sky
+            c2w = jnp.linalg.inv(w2c)
+            sky = render_sky(sky_p, cam.height, cam.width, cam.K, c2w)
+            img = img + sky * (1.0 - res.rend_alpha)[..., None]
+        nrm = res.rend_normal_world(cam)
+        sem = render_semantic(cam, state) if args.semantics else None
+        return img, res.surf_depth, nrm, sem
+
     psnrs = []
     for i, cam in enumerate(scene.train_cameras):
-        res = render(cam, state, bg)
-        img = np.array(res.render)
-        if sky_params is not None:
-            from ..models.sky import render_sky
-            c2w = np.linalg.inv(np.asarray(cam.w2c))
-            sky = np.array(render_sky(sky_params, cam.height, cam.width,
-                                      cam.K, jnp.asarray(c2w)))
-            img = img + sky * (1.0 - np.array(res.rend_alpha))[..., None]
-        img = np.clip(img, 0, 1)
+        img, depth_v, nrm, sem = render_view(cam.w2c, sky_params)
+        img = np.clip(np.array(img), 0, 1)
         _save_png(os.path.join(out_dir, "renders", f"{i:05d}.png"), img)
         gt = scene.train_images[i]
         if gt is not None:
             _save_png(os.path.join(out_dir, "gt", f"{i:05d}.png"), gt)
             psnrs.append(float(psnr(jnp.asarray(img), jnp.asarray(gt))))
-        d = np.array(res.surf_depth)
+        d = np.array(depth_v)
         _save_png(os.path.join(out_dir, "depth", f"{i:05d}.png"),
                   np.repeat((d / max(d.max(), 1e-6))[..., None], 3, -1))
-        nrm = np.array(res.rend_normal_world(cam))
         _save_png(os.path.join(out_dir, "normal", f"{i:05d}.png"),
-                  nrm * 0.5 + 0.5)
-        if args.semantics:
-            probs = np.array(render_semantic(cam, state))
-            sem_rgb = CONCERNED_COLORS[probs.argmax(-1)] / 255.0
+                  np.array(nrm) * 0.5 + 0.5)
+        if sem is not None:
+            sem_rgb = CONCERNED_COLORS[np.array(sem).argmax(-1)] / 255.0
             _save_png(os.path.join(out_dir, "semantic", f"{i:05d}.png"),
                       sem_rgb)
     if psnrs:

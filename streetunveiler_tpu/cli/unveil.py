@@ -72,10 +72,8 @@ def main(argv=None):
 
     # ---- stage A: selection
     class_bit = 1 << CONCERNED_IND[args.semantic_class]
-    thresh = args.cluster_threshold
-    if thresh is None:
-        thresh = max(7e-2, 0.02 * scene.cameras_extent)
-    cl = cluster_semantic_instance(state, class_bit, threshold=thresh)
+    cl = cluster_semantic_instance(state, class_bit,
+                                   threshold=args.cluster_threshold)
     np.save(os.path.join(ws, "cluster_labels.npy"), cl.labels)
     print(f"stage A: {len(cl.cluster_sizes)} clusters "
           f"(top sizes {cl.cluster_sizes[:5]})")

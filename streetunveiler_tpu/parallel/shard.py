@@ -45,6 +45,12 @@ except AttributeError:  # older jax
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
+def surfel_sharding(mesh: Mesh):
+    """NamedSharding placing surfel-axis arrays sharded over 'data'
+    (use with jax.device_put on params/moments before step_zero)."""
+    return NamedSharding(mesh, P("data"))
+
+
 def make_mesh(n_data: int, n_tile: int, devices=None) -> Mesh:
     devices = np.array(devices if devices is not None else jax.devices())
     assert devices.size >= n_data * n_tile, (
@@ -56,13 +62,21 @@ def make_mesh(n_data: int, n_tile: int, devices=None) -> Mesh:
 def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
                             width: int, height: int,
                             duplicate_capacity: int | None = None,
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            shard_surfels: bool = False):
     """Build the jitted multi-chip training step.
 
     Step signature:
         step(state, opt_state, w2c [B,4,4], K [B,3,3], gt [B,H,W,3],
              bg [3], iteration) -> (state, opt_state, metrics)
     B must be a multiple of mesh 'data'; H a multiple of 16·'tile'.
+
+    ``shard_surfels``: ZeRO-style memory scaling for 5M+ surfel scenes
+    (BASELINE config 5): parameters, Adam moments, and densification stats
+    live sharded along the surfel axis over the 'data' axis; each step
+    all-gathers the parameters for rendering, reduce-scatters the
+    gradients back to shards, and applies Adam on the local shard only.
+    Requires capacity % mesh.shape['data'] == 0.
     """
     n_tile = mesh.shape["tile"]
     slab = height // n_tile
@@ -137,4 +151,57 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
         state = add_densification_stats(state, sgrads, radii, visible)
         return state, opt_state, dict(loss=loss)
 
-    return step
+    def zero_sharded(params_shard, mu_shard, nu_shard, aux_state,
+                     w2c_b, k_b, gt_b, bg, iteration, step_count):
+        """Per-device body with surfel-sharded parameters/moments."""
+        gather = lambda leaf: jax.lax.all_gather(leaf, "data", axis=0,
+                                                 tiled=True)
+        params = jax.tree.map(gather, params_shard)
+        loss, pgrads, sgrads, radii = sharded_grads(
+            params, aux_state, w2c_b, k_b, gt_b, bg, iteration)
+        # pgrads are identical on every device after the pmean; keep only
+        # this device's shard of them (reduce-scatter equivalent)
+        nd = jax.lax.axis_size("data")
+        me = jax.lax.axis_index("data")
+        shard_of = lambda leaf: jax.lax.dynamic_slice_in_dim(
+            leaf, me * (leaf.shape[0] // nd), leaf.shape[0] // nd, 0)
+        g_shard = jax.tree.map(shard_of, pgrads)
+
+        lrs = make_lrs(opt, iteration, aux_state.spatial_scale)
+        new_shard, new_opt = adam_update(
+            g_shard, AdamState(step=step_count, mu=mu_shard, nu=nu_shard),
+            params_shard, lrs)
+        return (loss, new_shard, new_opt.mu, new_opt.nu,
+                shard_of(sgrads), shard_of(radii))
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step_zero(state: SurfelState, opt_state: AdamState, w2c_b, k_b,
+                  gt_b, bg, iteration):
+        """state.params / opt moments / densify stats enter SHARDED along
+        the surfel axis (place them with surfel_sharding(mesh))."""
+        fn = shard_map(
+            zero_sharded,
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P(), P("data"),
+                      P("data"), P("data", "tile", None, None), P(), P(),
+                      P()),
+            out_specs=(P(), P("data"), P("data"), P("data"), P("data"),
+                       P("data")),
+            check_vma=False,
+        )
+        # aux_state carries the non-parameter arrays replicated (semantics/
+        # alive are cheap int/bool masks; the heavy f32 state is sharded).
+        # Its params leaves are never read — pass empty slices so the
+        # sharded parameter arrays aren't re-gathered under the P() spec.
+        aux = dataclasses.replace(
+            state, params=jax.tree.map(lambda l: l[:0], state.params))
+        loss, new_params, mu, nu, sgrads, radii = fn(
+            state.params, opt_state.mu, opt_state.nu, aux, w2c_b, k_b,
+            gt_b, bg, iteration, opt_state.step)
+        opt_state = AdamState(step=opt_state.step + 1, mu=mu, nu=nu)
+        state = dataclasses.replace(state, params=new_params)
+        visible = (radii > 0) & (iteration < opt.densify_until_iter)
+        state = add_densification_stats(state, sgrads, radii, visible)
+        return state, opt_state, dict(loss=loss)
+
+    return step_zero if shard_surfels else step

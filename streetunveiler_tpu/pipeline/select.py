@@ -27,11 +27,23 @@ class Clustering(NamedTuple):
     cluster_sizes: np.ndarray
 
 
+def auto_cluster_threshold(xyz: np.ndarray, factor: float = 3.0) -> float:
+    """Data-driven clustering radius: ``factor`` × median 1-NN distance of
+    the class points (the reference's fixed 7e-2 assumes its normalized
+    Waymo scene units and fragments on other scales)."""
+    if xyz.shape[0] < 2:
+        return CLUSTER_THRESHOLD
+    tree = cKDTree(xyz)
+    d, _ = tree.query(xyz[:: max(1, xyz.shape[0] // 5000)], k=2)
+    return float(max(factor * np.median(d[:, 1]), CLUSTER_THRESHOLD))
+
+
 def cluster_semantic_instance(state: SurfelState, class_bits: int,
-                              threshold: float = CLUSTER_THRESHOLD
+                              threshold: float | None = CLUSTER_THRESHOLD
                               ) -> Clustering:
     """Connected components of the τ-ball graph over surfels of a class
-    (reference ``cluster_instance_with_mask``)."""
+    (reference ``cluster_instance_with_mask``). threshold=None → derive
+    from the class points' nearest-neighbor statistics."""
     alive = np.asarray(state.alive)
     in_class = np.asarray(state.semantic_mask(class_bits)) & alive
     xyz = np.asarray(state.params.xyz)[in_class]
@@ -41,6 +53,8 @@ def cluster_semantic_instance(state: SurfelState, class_bits: int,
     if xyz.shape[0] == 0:
         return Clustering(labels, np.array([], np.int64),
                           np.array([], np.int64))
+    if threshold is None:
+        threshold = auto_cluster_threshold(xyz)
 
     tree = cKDTree(xyz)
     pairs = tree.query_pairs(threshold, output_type="ndarray")
