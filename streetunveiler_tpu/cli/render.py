@@ -55,24 +55,8 @@ def main(argv=None):
 
     # composite the trained env-map sky when the checkpoint carries one
     # (train.py:114-115 semantics: image = render + sky·(1−α))
-    sky_params = None
-    ckpt = os.path.join(args.model_path, "checkpoint",
-                        f"iteration_{iteration}", "splatting.npz")
-    if os.path.exists(ckpt):
-        blob = np.load(ckpt)
-        if any(k.startswith("sky") for k in blob.files):
-            import jax
-            from ..models.sky import init_sky
-            from ..train.checkpoint import load_checkpoint
-            from ..train.optim import adam_init
-            from ..train.step import init_optimizer
-            tmpl_sky = init_sky(jax.random.PRNGKey(0))
-            try:
-                _, _, _, sky_params = load_checkpoint(
-                    os.path.dirname(ckpt), state, init_optimizer(state),
-                    sky_template=tmpl_sky)
-            except KeyError:
-                sky_params = None
+    from ..train.checkpoint import load_sky_for_iteration
+    sky_params = load_sky_for_iteration(args.model_path, iteration, state)
 
     bg = jnp.array([1.0, 1.0, 1.0]) if getattr(model, "white_background",
                                                False) else jnp.zeros(3)

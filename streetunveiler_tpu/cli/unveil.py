@@ -97,16 +97,34 @@ def main(argv=None):
     out = os.path.join(ws, "checkpoint")
     state_to_ply(os.path.join(out, "point_cloud.ply"), final)
 
-    # final renders for eval (stage C2)
+    # final renders for eval (stage C2), sky composited like the reference
+    import jax
     from PIL import Image
     from ..renderer import render
+    from ..train.checkpoint import load_sky_for_iteration
     rd = os.path.join(ws, "final_renders")
     gtd = os.path.join(ws, "gt")
     os.makedirs(rd, exist_ok=True)
     os.makedirs(gtd, exist_ok=True)
     bg = jnp.zeros(3)
+    sky_params = load_sky_for_iteration(args.model_path, iteration, final)
+
+    @jax.jit
+    def render_final(w2c, sky_p):
+        cam0 = scene.train_cameras[0]
+        cam = type(cam0)(w2c=w2c, K=cam0.K, width=cam0.width,
+                         height=cam0.height)
+        res = render(cam, final, bg)
+        img = res.render
+        if sky_p is not None:
+            from ..models.sky import render_sky
+            sky = render_sky(sky_p, cam.height, cam.width, cam.K,
+                             jnp.linalg.inv(w2c))
+            img = img + sky * (1.0 - res.rend_alpha)[..., None]
+        return img
+
     for i, cam in enumerate(scene.train_cameras):
-        img = np.clip(np.array(render(cam, final, bg).render), 0, 1)
+        img = np.clip(np.array(render_final(cam.w2c, sky_params)), 0, 1)
         Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(rd, f"{i:05d}.png"))
         if scene.train_images[i] is not None:

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from .kernel import (CH, PIX, S_CHUNK, TILE_H, TILE_W, blend_core,
                      build_aligned, pack_geometry)
 from .preprocess import preprocess_surfels
-from .tiles import bin_surfels
+from .tiles import bin_surfels_exact
 from .types import RasterizeSettings, RenderOutput
 
 
@@ -40,7 +40,7 @@ def default_duplicate_capacity(n_surfels: int, width: int, height: int,
 
 def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
               settings: RasterizeSettings, bg=None,
-              max_tiles_per_surfel: int = 16,
+              max_tiles_per_surfel: int = 64,
               duplicate_capacity: int | None = None,
               center2d_offset=None,
               interpret: bool | None = None) -> RenderOutput:
@@ -69,9 +69,10 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
                              w2c, K, settings, center2d_offset=center2d_offset)
 
     sg = jax.lax.stop_gradient
-    binning = bin_surfels(sg(sur.center2d), sg(sur.radius), sg(sur.depth),
-                          sur.valid, settings.width, settings.height,
-                          TILE_W, TILE_H, max_tiles_per_surfel)
+    binning = bin_surfels_exact(sg(sur.center2d), sg(sur.radius),
+                                sg(sur.depth), sur.valid, settings.width,
+                                settings.height, TILE_W, TILE_H,
+                                duplicate_capacity, max_tiles_per_surfel)
     aligned = build_aligned(binning, n, S_CHUNK, duplicate_capacity)
 
     # row-gather the per-duplicate records (slice-granular on TPU), then

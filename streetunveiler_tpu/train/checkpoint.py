@@ -68,6 +68,27 @@ def load_checkpoint(path: str, state_template, opt_template,
     return tuple(out)
 
 
+def load_sky_for_iteration(model_path: str, iteration: int, state,
+                           seed: int = 0):
+    """Best-effort sky-model restore from ``checkpoint/iteration_N`` —
+    returns SkyParams or None (for render/unveil-time compositing)."""
+    ckpt = os.path.join(model_path, "checkpoint", f"iteration_{iteration}",
+                        "splatting.npz")
+    if not os.path.exists(ckpt):
+        return None
+    blob = np.load(ckpt)
+    if not any(k.startswith("sky") for k in blob.files):
+        return None
+    import jax
+    from ..models.sky import init_sky
+    from ..train.optim import adam_init
+    tmpl = init_sky(jax.random.PRNGKey(seed))
+    try:
+        return _unflatten(tmpl, "sky", blob)
+    except KeyError:
+        return None
+
+
 def search_max_iteration(folder: str) -> Optional[int]:
     """Largest N among ``iteration_N`` children (reference
     ``searchForMaxIteration``)."""
