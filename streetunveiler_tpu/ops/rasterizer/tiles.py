@@ -1,18 +1,31 @@
-"""Tile binning: surfels → per-tile depth-sorted duplicate lists.
+"""Tile binning: surfels → a compact depth-sorted, tile-grouped stream.
 
 The CUDA reference bins by writing (tile|depth)-keyed duplicates with global
-atomics and cub radix sort (SURVEY.md §3.5, §7.3 hard-part #1). The TPU-native
-design is fully sort-based with *static capacities* so it jits cleanly:
+atomics and cub radix sort (SURVEY.md §3.5, §7.3 hard-part #1). The TPU
+design is sort-based with *static capacities* so it jits cleanly, and is
+shaped around one measured fact: XLA:TPU dynamic gathers cost ~12ns *per
+index* regardless of row width, so the whole pipeline is arranged to touch
+per-duplicate indices as few times as possible:
 
-1. For each surfel, compute the range of image tiles its screen AABB covers.
-2. Expand to at most ``max_tiles_per_surfel`` (static) duplicate slots via a
-   bounded iota grid — out-of-range slots get an invalid key.
-3. Pack sort keys as (tile_id, depth) into one uint64-equivalent pair and
-   sort with ``jax.lax.sort`` (XLA's on-device sort).
-4. CSR tile offsets via searchsorted over the sorted tile ids.
+1. Depth-argsort the surfels once; fuse every per-surfel quantity the
+   duplicate expansion needs into ONE int table so the expansion costs a
+   single per-duplicate gather.
+2. Expand to duplicates via the marks+cumsum rank trick (gather-free), and
+   stable-sort (tile_id, surfel_id) — two operands only; invalid/overflow
+   entries carry a sentinel tile so no separate validity payload is sorted.
+3. The sorted stream is used *compactly*: chunks of 128 duplicates may span
+   tile boundaries. Instead of re-materializing a tile-aligned stream (which
+   cost 3 more per-duplicate gathers in round 1), the Pallas kernel iterates
+   over (tile, chunk) VISITS with per-visit lane ranges; all visit metadata
+   is tiny ([T]-sized / [V]-sized) and computed gather-free here.
 
-The result (sorted surfel indices + per-tile offsets) feeds the Pallas blend
-kernel, which walks each tile's contiguous index range.
+Visit order is tile-major (all visits of tile t, chunks ascending). Two key
+adjacency properties the kernels rely on:
+  * visits of one tile are consecutive → per-tile output blocks and carry
+    scratch stay resident across the tile's visits;
+  * visits of one chunk are consecutive (a chunk is shared only by tiles
+    t, t+1, ... whose ranges abut) → the backward can accumulate per-chunk
+    gradient blocks across visits without a reduction pass.
 """
 
 from __future__ import annotations
@@ -22,125 +35,123 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+S_CHUNK = 128  # duplicates per stream chunk == kernel lane count
 
-class TileBinning(NamedTuple):
-    sorted_surfel: jnp.ndarray   # [D] int32 surfel index per duplicate (depth-sorted per tile)
-    sorted_valid: jnp.ndarray    # [D] bool
-    tile_offsets: jnp.ndarray    # [T+1] int32 CSR offsets into sorted_surfel
+
+class StreamBinning(NamedTuple):
+    """Compact sorted duplicate stream + (tile, chunk) visit schedule."""
+
+    sorted_surfel: jnp.ndarray   # [cap] i32 surfel per duplicate; n = pad
+    tile_offsets: jnp.ndarray    # [T+1] i32 CSR offsets into the stream
+    tile_of_visit: jnp.ndarray   # [V] i32 (sentinel visits: clamped)
+    chunk_of_visit: jnp.ndarray  # [V] i32 block index into the stream
+    first_of_tile: jnp.ndarray   # [V] i32 1 = tile's first visit, −1 = sentinel
+    last_of_tile: jnp.ndarray    # [V] i32 1 = tile's last visit, −1 = sentinel
+    init_rev: jnp.ndarray        # [V] i32 1 = chunk's first visit in REVERSE
+    lane_lo: jnp.ndarray         # [V] i32 first lane of this tile's range
+    lane_hi: jnp.ndarray         # [V] i32 one-past-last lane
     tiles_x: int
     tiles_y: int
+    overflow: jnp.ndarray        # [] bool — capacity exceeded
 
 
-def _tile_ranges(center2d, radius, tiles_x, tiles_y, tile_w, tile_h):
-    x0 = jnp.clip(jnp.floor((center2d[:, 0] - radius) / tile_w), 0, tiles_x - 1)
-    x1 = jnp.clip(jnp.floor((center2d[:, 0] + radius) / tile_w), 0, tiles_x - 1)
-    y0 = jnp.clip(jnp.floor((center2d[:, 1] - radius) / tile_h), 0, tiles_y - 1)
-    y1 = jnp.clip(jnp.floor((center2d[:, 1] + radius) / tile_h), 0, tiles_y - 1)
-    return tuple(a.astype(jnp.int32) for a in (x0, x1, y0, y1))
+def visit_capacity(dup_capacity: int, tiles_x: int, tiles_y: int) -> int:
+    """Static visit count: every chunk once + one extra per tile boundary."""
+    return dup_capacity // S_CHUNK + tiles_x * tiles_y
 
 
-def bin_surfels_exact(center2d, radius, depth, valid, width: int,
-                      height: int, tile_w: int, tile_h: int,
-                      dup_capacity: int,
-                      max_tiles_per_surfel: int = 64) -> TileBinning:
-    """Exact-count tile binning (the production path).
+def bin_surfels_stream(center2d, ext, depth, valid, width: int, height: int,
+                       tile_w: int, tile_h: int, dup_capacity: int,
+                       max_tiles_per_surfel: int = 64) -> StreamBinning:
+    """center2d [N,2], ext [N,2] per-axis extents, depth [N], valid [N].
 
-    Instead of a fixed slot grid of N×max_tiles mostly-invalid entries
-    (``bin_surfels``), this allocates exactly one stream slot per real
-    duplicate: surfels are depth-sorted first, duplicate offsets come from
-    a cumsum of per-surfel tile counts, and a single-key *stable* sort by
-    tile preserves the depth order — ~3× less sort traffic at street
-    scale. ``dup_capacity`` is the static stream size; if the scene
-    overflows it the farthest surfels' duplicates are dropped.
+    ``dup_capacity`` (multiple of S_CHUNK) is the static stream size; on
+    overflow the farthest surfels' duplicates are dropped (``overflow``).
     """
     tiles_x = -(-width // tile_w)
     tiles_y = -(-height // tile_h)
+    n_tiles = tiles_x * tiles_y
+    sentinel = n_tiles
     n = center2d.shape[0]
-    sentinel = tiles_x * tiles_y
+    cap = dup_capacity
+    assert cap % S_CHUNK == 0
 
-    order = jnp.argsort(jnp.where(valid, depth, jnp.inf))
-    c2d = center2d[order]
-    rad = radius[order]
-    val = valid[order]
-    x0, x1, y0, y1 = _tile_ranges(c2d, rad, tiles_x, tiles_y, tile_w, tile_h)
+    # -- per-surfel tile ranges in depth-rank order (one fused gather)
+    order = jnp.argsort(jnp.where(valid, depth, jnp.inf)).astype(jnp.int32)
+    per_surfel = jnp.concatenate(
+        [center2d, ext, valid[:, None].astype(jnp.float32)], axis=1)
+    ps = jnp.take(per_surfel, order, axis=0)          # [N, 5]
+    cx, cy, ex, ey, vf = (ps[:, i] for i in range(5))
+    x0 = jnp.clip(jnp.floor((cx - ex) / tile_w), 0, tiles_x - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((cx + ex) / tile_w), 0, tiles_x - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((cy - ey) / tile_h), 0, tiles_y - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((cy + ey) / tile_h), 0, tiles_y - 1).astype(jnp.int32)
     nx = x1 - x0 + 1
-    ny = y1 - y0 + 1
-    nt = jnp.where(val, jnp.minimum(nx * ny, max_tiles_per_surfel), 0)
-
+    nt = jnp.where(vf > 0.5,
+                   jnp.minimum(nx * (y1 - y0 + 1), max_tiles_per_surfel), 0)
     dup_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                  jnp.cumsum(nt).astype(jnp.int32)])
     total = dup_start[-1]
 
-    # rank-of-slot via marks+cumsum (gather-only; no big scatter)
-    marks = jnp.zeros((dup_capacity,), jnp.int32).at[dup_start[1:-1]].add(
+    # -- duplicate expansion: rank via marks+cumsum, then ONE fused gather
+    marks = jnp.zeros((cap,), jnp.int32).at[dup_start[1:-1]].add(
         1, mode="drop")
-    rank = jnp.cumsum(marks)
-    slot = jnp.arange(dup_capacity, dtype=jnp.int32)
-    in_stream = slot < jnp.minimum(total, dup_capacity)
-    rank = jnp.minimum(rank, n - 1)
-
-    k = slot - dup_start[rank]
-    nxr = jnp.maximum(nx[rank], 1)
-    tx = x0[rank] + k % nxr
-    ty = y0[rank] + k // nxr
+    rank = jnp.minimum(jnp.cumsum(marks), n - 1)
+    # fused expansion table: everything indexed by rank in one gather
+    tbl = jnp.stack([x0, y0, jnp.maximum(nx, 1), dup_start[:-1], order],
+                    axis=1)                            # [N, 5] i32
+    g = jnp.take(tbl, rank, axis=0)                   # [cap, 5]
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    k = slot - g[:, 3]
+    tx = g[:, 0] + k % g[:, 2]
+    ty = g[:, 1] + k // g[:, 2]
+    in_stream = slot < jnp.minimum(total, cap)
     tile_id = jnp.where(in_stream, ty * tiles_x + tx, sentinel)
-    surfel_id = jnp.where(in_stream, order[rank].astype(jnp.int32), n)
+    surf_id = jnp.where(in_stream, g[:, 4], n)
 
-    s_tile, s_idx, s_val = jax.lax.sort(
-        (tile_id, surfel_id, in_stream), num_keys=1, is_stable=True)
-
-    offsets = jnp.searchsorted(
-        s_tile, jnp.arange(sentinel + 1, dtype=jnp.int32),
+    # -- stable single-key sort: depth order within each tile is preserved
+    s_tile, s_surf = jax.lax.sort((tile_id, surf_id), num_keys=1,
+                                  is_stable=True)
+    off = jnp.searchsorted(
+        s_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32),
         side="left").astype(jnp.int32)
-    return TileBinning(sorted_surfel=s_idx, sorted_valid=s_val,
-                       tile_offsets=offsets, tiles_x=tiles_x,
-                       tiles_y=tiles_y)
 
+    # -- visit schedule ([T]-sized math only)
+    counts = off[1:] - off[:-1]
+    first_chunk = off[:-1] // S_CHUNK
+    last_chunk = jnp.maximum(off[1:] - 1, 0) // S_CHUNK
+    nvis_t = jnp.where(counts > 0, last_chunk - first_chunk + 1, 0)
+    vstart = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(nvis_t).astype(jnp.int32)])
+    nvis = vstart[-1]
 
-def bin_surfels(center2d, radius, depth, valid, width: int, height: int,
-                tile_w: int, tile_h: int, max_tiles_per_surfel: int = 64):
-    """Build per-tile duplicate lists.
+    vcap = visit_capacity(cap, tiles_x, tiles_y)
+    vmarks = jnp.zeros((vcap,), jnp.int32).at[vstart[1:-1]].add(
+        1, mode="drop")
+    t_of = jnp.minimum(jnp.cumsum(vmarks), n_tiles - 1)
+    vslot = jnp.arange(vcap, dtype=jnp.int32)
+    in_vis = vslot < nvis
+    c_of = first_chunk[t_of] + (vslot - vstart[t_of])
+    lo = jnp.clip(off[t_of] - c_of * S_CHUNK, 0, S_CHUNK)
+    hi = jnp.clip(off[t_of + 1] - c_of * S_CHUNK, 0, S_CHUNK)
+    first_f = jnp.where(in_vis, (vslot == vstart[t_of]).astype(jnp.int32), -1)
+    last_f = jnp.where(in_vis,
+                       (vslot == vstart[t_of + 1] - 1).astype(jnp.int32), -1)
+    # sentinel visits revisit the last real (tile, chunk) without touching it
+    idx_last = jnp.maximum(nvis - 1, 0)
+    t_of = jnp.where(in_vis, t_of, t_of[idx_last])
+    c_of = jnp.clip(jnp.where(in_vis, c_of, c_of[idx_last]), 0,
+                    cap // S_CHUNK - 1)
+    lo = jnp.where(in_vis, lo, 0)
+    hi = jnp.where(in_vis, hi, 0)
+    # chunk's first visit when iterating the visit list in reverse
+    nxt_c = jnp.concatenate([c_of[1:], jnp.full((1,), -1, jnp.int32)])
+    init_rev = jnp.where(
+        in_vis, ((vslot == nvis - 1) | (c_of != nxt_c)).astype(jnp.int32), -1)
 
-    center2d [N,2], radius [N], depth [N], valid [N]. Static image/tile dims.
-    A surfel covering more than ``max_tiles_per_surfel`` tiles is clipped to
-    its first rows of tiles (callers pick the cap from the scene scale; huge
-    splats are rare because densification splits them).
-    """
-    tiles_x = -(-width // tile_w)
-    tiles_y = -(-height // tile_h)
-    n = center2d.shape[0]
-
-    x0 = jnp.clip(jnp.floor((center2d[:, 0] - radius) / tile_w), 0, tiles_x - 1)
-    x1 = jnp.clip(jnp.floor((center2d[:, 0] + radius) / tile_w), 0, tiles_x - 1)
-    y0 = jnp.clip(jnp.floor((center2d[:, 1] - radius) / tile_h), 0, tiles_y - 1)
-    y1 = jnp.clip(jnp.floor((center2d[:, 1] + radius) / tile_h), 0, tiles_y - 1)
-    x0, x1, y0, y1 = (a.astype(jnp.int32) for a in (x0, x1, y0, y1))
-    nx = x1 - x0 + 1
-    ny = y1 - y0 + 1
-
-    # Slot grid: slot s → (dy, dx) = divmod(s, nx) per surfel.
-    slots = jnp.arange(max_tiles_per_surfel, dtype=jnp.int32)
-    dy = slots[None, :] // nx[:, None]
-    dx = slots[None, :] - dy * nx[:, None]
-    tx = x0[:, None] + dx
-    ty = y0[:, None] + dy
-    in_range = (slots[None, :] < (nx * ny)[:, None]) & valid[:, None]
-    tile_id = jnp.where(in_range, ty * tiles_x + tx, tiles_x * tiles_y)
-
-    # Sort by (tile, depth): keys in f64-free form — combine int tile and
-    # float depth via two-key lexicographic lax.sort.
-    surf_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
-                                tile_id.shape)
-    flat_tile = tile_id.reshape(-1)
-    flat_depth = jnp.broadcast_to(depth[:, None], tile_id.shape).reshape(-1)
-    flat_idx = surf_idx.reshape(-1)
-    flat_val = in_range.reshape(-1)
-
-    s_tile, s_depth, s_idx, s_val = jax.lax.sort(
-        (flat_tile, flat_depth, flat_idx, flat_val), num_keys=2)
-
-    num_tiles = tiles_x * tiles_y
-    offsets = jnp.searchsorted(s_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
-                               side="left").astype(jnp.int32)
-    return TileBinning(sorted_surfel=s_idx, sorted_valid=s_val,
-                       tile_offsets=offsets, tiles_x=tiles_x, tiles_y=tiles_y)
+    return StreamBinning(sorted_surfel=s_surf, tile_offsets=off,
+                         tile_of_visit=t_of, chunk_of_visit=c_of,
+                         first_of_tile=first_f, last_of_tile=last_f,
+                         init_rev=init_rev, lane_lo=lo, lane_hi=hi,
+                         tiles_x=tiles_x, tiles_y=tiles_y,
+                         overflow=total > cap)
