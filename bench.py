@@ -46,6 +46,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from streetunveiler_tpu.ops.rasterizer import RasterizeSettings, rasterize
+    from streetunveiler_tpu.ops.rasterizer.api import \
+        default_duplicate_capacity
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     W, H, f = 1920, 1280, 1000.0
@@ -58,7 +60,10 @@ def main():
     st = RasterizeSettings(width=W, height=H, znear=0.2, zfar=100.0)
     bg = jnp.zeros(3)
     tgt = jnp.zeros((H, W, 3))
-    dup_cap = 3 * 1024 * 1024
+    # the product's auto-sized static capacity (6 avg tiles/surfel; this
+    # scene measures ~5.4) — round 1 hardcoded 3M, paying ~40% of kernel
+    # visits and gather traffic for empty sentinel slots
+    dup_cap = default_duplicate_capacity(n, W, H)
 
     def loss(*a):
         out = rasterize(*a, w2c, K, st, bg=bg, duplicate_capacity=dup_cap)

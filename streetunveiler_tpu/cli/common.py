@@ -1,0 +1,53 @@
+"""Shared CLI helpers: dataset dispatch from persisted ModelParams.
+
+The reference dispatches readers by sniffing sentinel files in the source
+dir (``scene/__init__.py:41-67``); here the scene kind and its selectors
+are explicit ``ModelParams`` fields persisted in ``cfg_args.json``, so
+``render``/``unveil``/``evaluate`` reload exactly the scene ``train``
+used — the same filesystem-IPC contract, made explicit.
+"""
+
+from __future__ import annotations
+
+from ..config import ModelParams
+
+SCENE_KINDS = ("synthetic", "colmap", "blender", "waymo", "kitti",
+               "pandaset", "nuscenes")
+
+
+def load_scene_info(model: ModelParams, seed: int = 0):
+    """Build SceneInfo for the configured dataset kind."""
+    kind = model.scene or ("colmap" if model.source_path else "synthetic")
+    frames = dict(start_frame=model.start_frame or 0,
+                  end_frame=model.end_frame)
+    if kind == "synthetic":
+        from ..scene.readers import make_synthetic_street
+        return make_synthetic_street(seed=seed)
+    if kind == "colmap":
+        from ..scene.readers import read_colmap_scene
+        return read_colmap_scene(model.source_path, model.colmap_path,
+                                 images=model.images,
+                                 eval_split=model.eval)
+    if kind == "blender":
+        from ..scene.readers import read_blender_info
+        return read_blender_info(model.source_path,
+                                 white_background=model.white_background)
+    if kind == "waymo":
+        from ..scene.readers import read_waymo_info
+        return read_waymo_info(model.source_path, model.colmap_path,
+                               **frames)
+    if kind == "kitti":
+        from ..scene.readers import read_kitti_info
+        return read_kitti_info(model.source_path, model.date, model.drive,
+                               model.colmap_path, **frames)
+    if kind == "pandaset":
+        from ..scene.readers import read_pandaset_info
+        return read_pandaset_info(model.source_path, model.sequence,
+                                  model.colmap_path, **frames)
+    if kind == "nuscenes":
+        from ..scene.readers import read_nuscenes_info
+        return read_nuscenes_info(model.source_path, model.scene_name,
+                                  version=model.version,
+                                  colmap_path=model.colmap_path, **frames)
+    raise ValueError(f"unknown scene kind {kind!r}; expected one of "
+                     f"{SCENE_KINDS}")

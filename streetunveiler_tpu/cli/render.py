@@ -1,8 +1,10 @@
 """Render/eval CLI — the reference's ``render.py`` driver.
 
-Renders train (and test) views from the newest checkpoint: RGB, depth,
+Renders train and test views from the newest checkpoint: RGB, depth,
 normal, semantic argmax visualizations + per-view PSNR, written into
-``<model_path>/{train,test}/ours_<iter>/`` like the reference layout.
+``<model_path>/{train,test}/ours_<iter>/`` like the reference layout, then
+TSDF mesh extraction over ⅓ of the train cameras → ``fuse.ply`` +
+cluster-filtered ``fuse_post.ply`` (reference ``render.py:118-146``).
 """
 
 from __future__ import annotations
@@ -24,25 +26,31 @@ def main(argv=None):
     ap.add_argument("--model_path", required=True)
     ap.add_argument("--iteration", type=int, default=-1)
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--skip_test", action="store_true")
+    ap.add_argument("--skip_mesh", action="store_true")
     ap.add_argument("--semantics", action="store_true")
+    ap.add_argument("--voxel_size", type=float, default=0.05,
+                    help="TSDF voxel size (scene units)")
+    ap.add_argument("--mesh_res", type=int, default=0,
+                    help="if >0, derive voxel size from bounds/res")
+    ap.add_argument("--depth_ratio", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
     from ..config import load_config
     from ..renderer import render, render_semantic
-    from ..scene.readers import make_synthetic_street, read_colmap_scene
     from ..scene.scene import Scene
-    from ..train.checkpoint import search_max_iteration
+    from ..train.checkpoint import (load_sky_for_iteration,
+                                    search_max_iteration)
     from ..train.losses import psnr
     from ..utils.semantics import CONCERNED_COLORS
+    from .common import load_scene_info
 
     cfg = load_config(args.model_path)
     model = cfg["model"]
-    if model.source_path:
-        info = read_colmap_scene(model.source_path, model.colmap_path)
-    else:
-        info = make_synthetic_street(seed=args.seed)
+    info = load_scene_info(model, seed=args.seed)
     scene = Scene(info, model_path=args.model_path,
                   resolution=model.resolution)
 
@@ -55,55 +63,85 @@ def main(argv=None):
 
     # composite the trained env-map sky when the checkpoint carries one
     # (train.py:114-115 semantics: image = render + sky·(1−α))
-    from ..train.checkpoint import load_sky_for_iteration
     sky_params = load_sky_for_iteration(args.model_path, iteration, state)
 
     bg = jnp.array([1.0, 1.0, 1.0]) if getattr(model, "white_background",
                                                False) else jnp.zeros(3)
-    out_dir = os.path.join(args.model_path, "train", f"ours_{iteration}")
-    for sub in ["renders", "gt", "depth", "normal", "semantic"]:
-        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
-    import jax
-
+    # jit over the Camera pytree: per-view w2c/K are traced arrays,
+    # width/height static — correct for multi-camera rigs with distinct
+    # intrinsics (one compile per distinct image size)
     @jax.jit
-    def render_view(w2c, sky_p):
-        cam0 = scene.train_cameras[0]
-        cam = type(cam0)(w2c=w2c, K=cam0.K, width=cam0.width,
-                         height=cam0.height)
+    def render_view(cam, sky_p):
         res = render(cam, state, bg)
         img = res.render
         if sky_p is not None:
             from ..models.sky import render_sky
-            c2w = jnp.linalg.inv(w2c)
+            c2w = jnp.linalg.inv(cam.w2c)
             sky = render_sky(sky_p, cam.height, cam.width, cam.K, c2w)
             img = img + sky * (1.0 - res.rend_alpha)[..., None]
         nrm = res.rend_normal_world(cam)
         sem = render_semantic(cam, state) if args.semantics else None
         return img, res.surf_depth, nrm, sem
 
-    psnrs = []
-    for i, cam in enumerate(scene.train_cameras):
-        img, depth_v, nrm, sem = render_view(cam.w2c, sky_params)
-        img = np.clip(np.array(img), 0, 1)
-        _save_png(os.path.join(out_dir, "renders", f"{i:05d}.png"), img)
-        gt = scene.train_images[i]
-        if gt is not None:
-            _save_png(os.path.join(out_dir, "gt", f"{i:05d}.png"), gt)
-            psnrs.append(float(psnr(jnp.asarray(img), jnp.asarray(gt))))
-        d = np.array(depth_v)
-        _save_png(os.path.join(out_dir, "depth", f"{i:05d}.png"),
-                  np.repeat((d / max(d.max(), 1e-6))[..., None], 3, -1))
-        _save_png(os.path.join(out_dir, "normal", f"{i:05d}.png"),
-                  np.array(nrm) * 0.5 + 0.5)
-        if sem is not None:
-            sem_rgb = CONCERNED_COLORS[np.array(sem).argmax(-1)] / 255.0
-            _save_png(os.path.join(out_dir, "semantic", f"{i:05d}.png"),
-                      sem_rgb)
-    if psnrs:
-        print(f"mean PSNR over {len(psnrs)} train views: "
-              f"{np.mean(psnrs):.2f} dB")
-    print(f"wrote {out_dir}")
+    def render_split(split, cameras, images):
+        out_dir = os.path.join(args.model_path, split, f"ours_{iteration}")
+        for sub in ["renders", "gt", "depth", "normal", "semantic"]:
+            os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+        psnrs = []
+        for i, cam in enumerate(cameras):
+            img, depth_v, nrm, sem = render_view(cam, sky_params)
+            img = np.clip(np.array(img), 0, 1)
+            _save_png(os.path.join(out_dir, "renders", f"{i:05d}.png"), img)
+            gt = images[i] if i < len(images) else None
+            if gt is not None:
+                _save_png(os.path.join(out_dir, "gt", f"{i:05d}.png"), gt)
+                psnrs.append(float(psnr(jnp.asarray(img), jnp.asarray(gt))))
+            d = np.array(depth_v)
+            _save_png(os.path.join(out_dir, "depth", f"{i:05d}.png"),
+                      np.repeat((d / max(d.max(), 1e-6))[..., None], 3, -1))
+            _save_png(os.path.join(out_dir, "normal", f"{i:05d}.png"),
+                      np.array(nrm) * 0.5 + 0.5)
+            if sem is not None:
+                sem_rgb = CONCERNED_COLORS[np.array(sem).argmax(-1)] / 255.0
+                _save_png(os.path.join(out_dir, "semantic", f"{i:05d}.png"),
+                          sem_rgb)
+        if psnrs:
+            print(f"{split}: mean PSNR over {len(psnrs)} views: "
+                  f"{np.mean(psnrs):.2f} dB")
+        print(f"wrote {out_dir}")
+
+    if not args.skip_train:
+        render_split("train", scene.train_cameras, scene.train_images)
+    if not args.skip_test and scene.test_cameras:
+        render_split("test", scene.test_cameras,
+                     getattr(scene, "test_images", []))
+
+    if not args.skip_mesh:
+        from ..mesh import estimate_bounds, extract_mesh
+        from ..ops.tsdf import save_mesh_ply
+        mesh_dir = os.path.join(args.model_path, "train",
+                                f"ours_{iteration}")
+        os.makedirs(mesh_dir, exist_ok=True)
+        # reference fuses every 3rd train camera (render.py:123-132)
+        fuse_cams = scene.train_cameras[::3]
+        voxel = args.voxel_size
+        if args.mesh_res > 0:
+            lo, hi = estimate_bounds(state)
+            voxel = float(np.max(hi - lo) / args.mesh_res)
+        from ..mesh import keep_large_clusters
+        verts, faces, colors = extract_mesh(
+            fuse_cams, state, bg=bg, voxel_size=voxel,
+            depth_ratio=args.depth_ratio, min_cluster_frac=0.0)
+        save_mesh_ply(os.path.join(mesh_dir, "fuse.ply"), verts, faces,
+                      colors)
+        if faces.shape[0]:
+            pv, pf, pc = keep_large_clusters(verts, faces, colors, 0.02)
+        else:
+            pv, pf, pc = verts, faces, colors
+        save_mesh_ply(os.path.join(mesh_dir, "fuse_post.ply"), pv, pf, pc)
+        print(f"mesh: {verts.shape[0]} verts / {faces.shape[0]} faces → "
+              f"{os.path.join(mesh_dir, 'fuse.ply')} (+ fuse_post.ply)")
 
 
 if __name__ == "__main__":

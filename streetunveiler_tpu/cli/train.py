@@ -3,8 +3,15 @@
     python -m streetunveiler_tpu.cli.train --scene synthetic \
         --model_path /tmp/model --iterations 2000
 
+    python -m streetunveiler_tpu.cli.train --scene waymo \
+        --source_path /data/segment --model_path /tmp/waymo --sky --semantics
+
 Persists ``cfg_args.json`` into the model dir so later stages re-read it
-(the reference's filesystem-IPC protocol, SURVEY.md §1).
+(the reference's filesystem-IPC protocol, SURVEY.md §1). Resume with
+``--start_iteration N`` (reference ``--continue_model_path``/
+``--start_iteration``, train.py:38-47). ``--tile_devices``/``--data_devices``
+shard the step over a device mesh (SURVEY.md §2.4); ``--multihost``
+bootstraps ``jax.distributed`` for multi-host pods.
 """
 
 from __future__ import annotations
@@ -19,47 +26,78 @@ import numpy as np
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="synthetic",
-                    choices=["synthetic", "colmap"])
+                    choices=["synthetic", "colmap", "blender", "waymo",
+                             "kitti", "pandaset", "nuscenes"])
     ap.add_argument("--source_path", default="")
     ap.add_argument("--colmap_path", default="")
     ap.add_argument("--model_path", required=True)
+    # per-dataset selectors (persisted into cfg_args.json)
+    ap.add_argument("--date", default="", help="kitti recording date")
+    ap.add_argument("--drive", default="", help="kitti drive number")
+    ap.add_argument("--sequence", default="", help="pandaset sequence")
+    ap.add_argument("--scene_name", default="", help="nuscenes scene")
+    ap.add_argument("--version", default="v1.0-mini", help="nuscenes version")
+    ap.add_argument("--start_frame", type=int, default=None)
+    ap.add_argument("--end_frame", type=int, default=None)
+    ap.add_argument("--eval", action="store_true",
+                    help="hold out every llffhold-th view for evaluation")
     ap.add_argument("--iterations", type=int, default=None)
     ap.add_argument("--capacity", type=int, default=0)
     ap.add_argument("--resolution", type=int, default=-1)
     ap.add_argument("--sky", action="store_true", help="train the env-map sky")
     ap.add_argument("--semantics", action="store_true")
+    ap.add_argument("--start_iteration", type=int, default=0,
+                    help="resume from checkpoint/iteration_N")
     ap.add_argument("--save_every", type=int, default=5000)
     ap.add_argument("--log_every", type=int, default=200)
+    ap.add_argument("--eval_every", type=int, default=1000,
+                    help="held-out PSNR/L1 interval (0 = off)")
+    ap.add_argument("--duplicate_capacity", type=int, default=0)
+    # multi-chip (SURVEY.md §2.4): tile×data mesh over local devices
+    ap.add_argument("--tile_devices", type=int, default=1)
+    ap.add_argument("--data_devices", type=int, default=1)
+    ap.add_argument("--multihost", action="store_true",
+                    help="jax.distributed.initialize() before device use")
     ap.add_argument("--seed", type=int, default=0)
     args, rest = ap.parse_known_args(argv)
+
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()
 
     import jax
     from ..config import (ModelParams, OptimizationParams, PipelineParams,
                           apply_overrides, save_config)
-    from ..scene.readers import make_synthetic_street, read_colmap_scene
     from ..scene.scene import Scene
-    from ..train.checkpoint import save_checkpoint
+    from ..train.checkpoint import load_checkpoint, save_checkpoint
     from ..train.loop import train_scene
     from ..train.optim import adam_init
     from ..train.step import init_optimizer
+    from .common import load_scene_info
 
     opt, rest = apply_overrides(OptimizationParams(), rest)
     model = ModelParams(source_path=args.source_path,
                         colmap_path=args.colmap_path,
                         model_path=args.model_path,
-                        resolution=args.resolution, capacity=args.capacity)
-    pipe = PipelineParams()
+                        resolution=args.resolution, capacity=args.capacity,
+                        scene=args.scene, date=args.date, drive=args.drive,
+                        sequence=args.sequence, scene_name=args.scene_name,
+                        version=args.version, start_frame=args.start_frame,
+                        end_frame=args.end_frame, eval=args.eval)
+    pipe, rest = apply_overrides(PipelineParams(
+        tile_devices=args.tile_devices,
+        duplicate_capacity=args.duplicate_capacity), rest)
+    if rest:
+        print(f"WARNING: unrecognized arguments {rest}", file=sys.stderr)
     save_config(args.model_path, model=model, pipeline=pipe,
                 optimization=opt)
 
-    if args.scene == "synthetic":
-        info = make_synthetic_street(seed=args.seed)
-    else:
-        info = read_colmap_scene(args.source_path, args.colmap_path)
+    info = load_scene_info(model, seed=args.seed)
     scene = Scene(info, model_path=args.model_path,
                   resolution=args.resolution)
     state = scene.create_state(capacity=args.capacity)
-    print(f"scene: {len(scene.train_cameras)} cameras, "
+    print(f"scene: {len(scene.train_cameras)} train / "
+          f"{len(scene.test_cameras)} test cameras, "
           f"{int(state.num_alive)} init surfels, "
           f"capacity {state.capacity}, extent {scene.cameras_extent:.1f}")
 
@@ -68,18 +106,47 @@ def main(argv=None):
         from ..models.sky import init_sky
         sky_params = init_sky(jax.random.PRNGKey(args.seed))
 
+    opt_state = init_optimizer(state)
+    start_iteration = args.start_iteration
+    if start_iteration > 0:
+        ckpt_dir = os.path.join(args.model_path, "checkpoint",
+                                f"iteration_{start_iteration}")
+        if sky_params is not None:
+            state, opt_state, it, sky_params = load_checkpoint(
+                ckpt_dir, state, opt_state, sky_template=sky_params)
+        else:
+            state, opt_state, it = load_checkpoint(ckpt_dir, state,
+                                                   opt_state)
+        print(f"resumed from {ckpt_dir} at iteration {it}")
+
     iterations = args.iterations or opt.iterations
     saves = tuple(range(args.save_every, iterations + 1, args.save_every)
                   ) + (iterations,)
+    dup_cap = args.duplicate_capacity or None
 
     def report(r):
-        print(f"[{r.iteration}] loss={r.loss:.5f} psnr={r.psnr:.2f} "
-              f"alive={r.n_alive} {r.iters_per_s:.1f} it/s", flush=True)
+        line = (f"[{r.iteration}] loss={r.loss:.5f} psnr={r.psnr:.2f} "
+                f"alive={r.n_alive} {r.iters_per_s:.1f} it/s")
+        if np.isfinite(r.test_psnr):
+            line += f" test_psnr={r.test_psnr:.2f}"
+        print(line, flush=True)
 
-    state, sky_params, _ = train_scene(
-        scene, state, opt, sky_params=sky_params, iterations=iterations,
-        save_iterations=saves, log_every=args.log_every,
-        use_semantics=args.semantics, seed=args.seed, callback=report)
+    n_mesh = args.tile_devices * args.data_devices
+    if n_mesh > 1:
+        from ..train.loop import train_scene_sharded
+        state, sky_params, _ = train_scene_sharded(
+            scene, state, opt, n_tile=args.tile_devices,
+            n_data=args.data_devices, sky_params=sky_params,
+            iterations=iterations, start_iteration=start_iteration,
+            save_iterations=saves, log_every=args.log_every,
+            duplicate_capacity=dup_cap, seed=args.seed, callback=report)
+    else:
+        state, sky_params, _ = train_scene(
+            scene, state, opt, sky_params=sky_params,
+            iterations=iterations, start_iteration=start_iteration,
+            save_iterations=saves, log_every=args.log_every,
+            eval_every=args.eval_every, duplicate_capacity=dup_cap,
+            use_semantics=args.semantics, seed=args.seed, callback=report)
 
     ckpt_dir = os.path.join(args.model_path, "checkpoint",
                             f"iteration_{iterations}")

@@ -5,9 +5,13 @@ from the filesystem artifacts, SURVEY.md §3.3/3.4).
     python -m streetunveiler_tpu.cli.unveil --model_path /tmp/model \
         --semantic_class vehicle --all
 
-Stages: A select instances (cluster + artifact dump) → B masks →
-C inpaint + delta re-optimization → final renders into
-``instance_workspace_<round>/``.
+Stages: A select instances (cluster + per-instance preview renders) →
+B masks + per-frame inpaint-condition artifacts → C inpaint + delta
+re-optimization → final renders into ``instance_workspace_<round>/``.
+
+``--inpainter`` selects the 2D model: ``diffuse`` (hermetic fallback) or
+``dir:<path>`` — the out-of-band file-exchange protocol where a GPU host
+running the real ZITS++/LeftRefill answers requests (``pipeline/inpaint.py``).
 """
 
 from __future__ import annotations
@@ -18,13 +22,25 @@ import os
 import numpy as np
 
 
+def make_inpainter(spec: str, timeout: float = 600.0):
+    from ..pipeline.inpaint import DiffuseFillInpainter, DirectoryInpainter
+    if spec == "diffuse":
+        return DiffuseFillInpainter()
+    if spec.startswith("dir:"):
+        return DirectoryInpainter(spec[4:], timeout=timeout,
+                                  fallback=DiffuseFillInpainter())
+    raise ValueError(f"unknown inpainter spec {spec!r} "
+                     "(expected 'diffuse' or 'dir:<path>')")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_path", required=True)
     ap.add_argument("--iteration", type=int, default=-1)
     ap.add_argument("--semantic_class", default="vehicle")
     ap.add_argument("--instances", type=int, nargs="*", default=None,
-                    help="instance ids to remove; omit with --all")
+                    help="instance ids to remove (pick from the stage-A "
+                         "instance_render previews); omit with --all")
     ap.add_argument("--all", action="store_true",
                     help="remove every solid cluster (reference --all)")
     ap.add_argument("--cluster_threshold", type=float, default=None,
@@ -34,29 +50,34 @@ def main(argv=None):
     ap.add_argument("--key_stride", type=int, default=4,
                     help="every k-th frame is a key frame")
     ap.add_argument("--reopt_iterations", type=int, default=1000)
+    ap.add_argument("--inpainter", default="diffuse",
+                    help="'diffuse' or 'dir:<exchange-dir>'")
+    ap.add_argument("--inpaint_timeout", type=float, default=600.0)
+    ap.add_argument("--select_only", action="store_true",
+                    help="stop after stage A so instance ids can be chosen "
+                         "from the preview renders")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
     from ..config import ReOptimizationParams, load_config
-    from ..pipeline.inpaint import DiffuseFillInpainter
-    from ..pipeline.masks import include_neighbor_pcd
+    from ..pipeline.masks import (include_neighbor_pcd,
+                                  write_inpaint_conditions)
     from ..pipeline.reoptimize import unveil
     from ..pipeline.select import (cluster_semantic_instance,
-                                   removal_mask_for_instances)
-    from ..scene.readers import make_synthetic_street, read_colmap_scene
+                                   removal_mask_for_instances,
+                                   render_instance_previews)
     from ..scene.scene import Scene
-    from ..train.checkpoint import (search_max_inpaint_round,
+    from ..train.checkpoint import (load_sky_for_iteration,
+                                    search_max_inpaint_round,
                                     search_max_iteration)
     from ..utils.ply import state_to_ply
     from ..utils.semantics import CONCERNED_IND
+    from .common import load_scene_info
 
     cfg = load_config(args.model_path)
     model = cfg["model"]
-    if model.source_path:
-        info = read_colmap_scene(model.source_path, model.colmap_path)
-    else:
-        info = make_synthetic_street(seed=args.seed)
+    info = load_scene_info(model, seed=args.seed)
     scene = Scene(info, model_path=args.model_path,
                   resolution=model.resolution)
 
@@ -70,29 +91,56 @@ def main(argv=None):
     ws = os.path.join(args.model_path, f"instance_workspace_{rnd}")
     os.makedirs(ws, exist_ok=True)
 
-    # ---- stage A: selection
+    # sky composite for conditions/final renders (train.py:114-115)
+    sky_params = load_sky_for_iteration(args.model_path, iteration, state)
+    sky_images = None
+    if sky_params is not None:
+        import jax
+        from ..models.sky import render_sky
+        sky_fn = jax.jit(lambda w2c, K, h, w: render_sky(
+            sky_params, h, w, K, jnp.linalg.inv(w2c)),
+            static_argnums=(2, 3))
+        sky_images = [np.asarray(sky_fn(c.w2c, c.K, c.height, c.width))
+                      for c in scene.train_cameras]
+
+    # ---- stage A: selection + per-instance previews
     class_bit = 1 << CONCERNED_IND[args.semantic_class]
     cl = cluster_semantic_instance(state, class_bit,
                                    threshold=args.cluster_threshold)
     np.save(os.path.join(ws, "cluster_labels.npy"), cl.labels)
+    solid = render_instance_previews(
+        scene, state, cl, ws,
+        close_depth=max(4.0, 0.3 * scene.cameras_extent))
     print(f"stage A: {len(cl.cluster_sizes)} clusters "
-          f"(top sizes {cl.cluster_sizes[:5]})")
+          f"(top sizes {cl.cluster_sizes[:5]}), "
+          f"{int(solid.sum())} surfels in solid clusters; previews in "
+          f"{os.path.join(ws, 'instance_render')}")
+    if args.select_only:
+        print("stage A only (--select_only): rerun with --instances <ids> "
+              "or --all")
+        return
 
-    # ---- stage B: removal + neighborhood masks
+    # ---- stage B: removal + neighborhood masks + condition artifacts
     removal = removal_mask_for_instances(
         cl, args.instances or [], all_solid=args.all or not args.instances)
     masks = include_neighbor_pcd(state, removal)
     np.save(os.path.join(ws, "removed_pcd_mask.npy"), masks.removed)
     np.save(os.path.join(ws, "trainable_pcd_mask.npy"), masks.trainable)
+    np.save(os.path.join(ws, "editable_pcd_mask.npy"), masks.editable)
+    bg = jnp.zeros(3)
+    frame_masks = write_inpaint_conditions(scene, state, masks.removed, ws,
+                                           bg, sky_images=sky_images)
     print(f"stage B: removing {int(removal.sum())} surfels, "
-          f"{int(masks.trainable.sum())} trainable")
+          f"{int(masks.trainable.sum())} trainable; conditions in {ws}")
 
     # ---- stage C: inpaint + delta re-optimization
     n_cams = len(scene.train_cameras)
     key_frames = list(range(0, n_cams, args.key_stride))
     opt = ReOptimizationParams(iterations=args.reopt_iterations)
-    final, _, targets = unveil(scene, state, masks, key_frames,
-                               DiffuseFillInpainter(), opt=opt)
+    inpainter = make_inpainter(args.inpainter, timeout=args.inpaint_timeout)
+    final, _, targets = unveil(scene, state, masks, key_frames, inpainter,
+                               opt=opt, sky_images=sky_images,
+                               frame_masks=frame_masks, seed=args.seed)
 
     out = os.path.join(ws, "checkpoint")
     state_to_ply(os.path.join(out, "point_cloud.ply"), final)
@@ -101,30 +149,25 @@ def main(argv=None):
     import jax
     from PIL import Image
     from ..renderer import render
-    from ..train.checkpoint import load_sky_for_iteration
     rd = os.path.join(ws, "final_renders")
     gtd = os.path.join(ws, "gt")
     os.makedirs(rd, exist_ok=True)
     os.makedirs(gtd, exist_ok=True)
-    bg = jnp.zeros(3)
-    sky_params = load_sky_for_iteration(args.model_path, iteration, final)
 
+    # jit over the Camera pytree: per-view w2c/K are traced arrays and
+    # width/height are static aux — correct for multi-camera rigs with
+    # distinct intrinsics (one compile per distinct image size)
     @jax.jit
-    def render_final(w2c, sky_p):
-        cam0 = scene.train_cameras[0]
-        cam = type(cam0)(w2c=w2c, K=cam0.K, width=cam0.width,
-                         height=cam0.height)
+    def render_final(cam):
         res = render(cam, final, bg)
-        img = res.render
-        if sky_p is not None:
-            from ..models.sky import render_sky
-            sky = render_sky(sky_p, cam.height, cam.width, cam.K,
-                             jnp.linalg.inv(w2c))
-            img = img + sky * (1.0 - res.rend_alpha)[..., None]
-        return img
+        return res.render, res.rend_alpha
 
     for i, cam in enumerate(scene.train_cameras):
-        img = np.clip(np.array(render_final(cam.w2c, sky_params)), 0, 1)
+        img, alpha = render_final(cam)
+        img = np.asarray(img)
+        if sky_images is not None:
+            img = img + sky_images[i] * (1.0 - np.asarray(alpha))[..., None]
+        img = np.clip(img, 0, 1)
         Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(rd, f"{i:05d}.png"))
         if scene.train_images[i] is not None:

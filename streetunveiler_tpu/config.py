@@ -31,6 +31,15 @@ class ModelParams:
     eval: bool = False
     # TPU-specific: fixed surfel capacity (0 → sized from the init cloud)
     capacity: int = 0
+    # dataset dispatch: the reference sniffs sentinel files
+    # (scene/__init__.py:41-67); here the kind + per-dataset selectors are
+    # explicit and persisted so later stages reload the same scene
+    scene: str = "synthetic"   # synthetic|colmap|blender|waymo|kitti|pandaset|nuscenes
+    date: str = ""             # kitti: recording date (e.g. 2011_09_26)
+    drive: str = ""            # kitti: drive number (e.g. 0001)
+    sequence: str = ""         # pandaset: sequence id
+    scene_name: str = ""       # nuscenes: scene name
+    version: str = "v1.0-mini"  # nuscenes: table version
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,7 +84,11 @@ class OptimizationParams:
     prune_from_iter: int = 31_000
     prune_until_iter: int = 45_000
     prune_interval: int = 4_000
-    prune_opacity: float = 0.3
+    # late-prune threshold. The reference declares 0.3
+    # (arguments/__init__.py:102) but its loop hardcodes 0.5
+    # (train.py:185); here the field is authoritative with the value the
+    # reference actually uses.
+    prune_opacity: float = 0.5
 
     shrinking_from_iter: int = 31_000
     lambda_shrink: float = 0.001
@@ -137,19 +150,20 @@ def apply_overrides(group, argv):
         a = argv[i]
         if a.startswith("--") and a[2:] in fields:
             name = a[2:]
-            ftype = fields[name].type
-            if ftype in ("bool", bool):
+            # with `from __future__ import annotations` field types are
+            # strings ("int", "Optional[int]", …); normalize before dispatch
+            ftype = str(fields[name].type).replace("builtins.", "")
+            base = ftype.replace("Optional[", "").rstrip("]")
+            if base == "bool":
                 updates[name] = True
                 i += 1
             else:
                 raw = argv[i + 1]
-                caster = {"int": int, "float": float}.get(
-                    str(ftype).replace("builtins.", ""), str)
-                if "int" in str(ftype):
-                    caster = int
-                elif "float" in str(ftype):
-                    caster = float
-                updates[name] = caster(raw)
+                if ftype.startswith("Optional") and raw.lower() == "none":
+                    updates[name] = None
+                else:
+                    caster = {"int": int, "float": float}.get(base, str)
+                    updates[name] = caster(raw)
                 i += 2
         else:
             rest.append(a)

@@ -109,4 +109,5 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
         median_depth=jax.lax.stop_gradient(img[11]),
         distortion=distortion,
         radii=sur.radius,
+        overflow=binning.overflow,
     )

@@ -60,7 +60,10 @@ from .types import MEDIAN_T, T_EPS
 
 TILE_H = 16
 TILE_W = 32
-PIX = TILE_H * TILE_W          # 512 pixels (sublanes) per tile
+PIX = TILE_H * TILE_W          # 512 pixels (sublanes) per tile. Measured
+#                                tradeoff: 16×16 tiles cut pair work 19%
+#                                but grow duplicates 49% (gather+sort);
+#                                32×16 is the total-work sweet spot.
 S_CHUNK = 128                  # surfels (lanes) per chunk
 REC = 24                       # packed per-duplicate record rows
 Q_ROW0 = 14                    # first payload row (color) within the record

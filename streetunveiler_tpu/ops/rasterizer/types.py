@@ -48,3 +48,6 @@ class RenderOutput:
     median_depth: Any   # [H, W]
     distortion: Any     # [H, W]
     radii: Any          # [N] float screen-space radius (0 = culled)
+    overflow: Any = False   # [] bool — duplicate stream truncated (the
+    #                         farthest surfels were dropped); surface this
+    #                         in training metrics to size duplicate_capacity

@@ -82,6 +82,21 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
     slab = height // n_tile
     assert slab * n_tile == height and slab % TILE_H == 0, (
         f"height {height} must split into {n_tile} slabs of multiple-of-16")
+    def slab_capacity(n_surfels: int) -> int:
+        """Per-device static duplicate capacity.
+
+        Each device culls + bins only the surfels its slab crop sees, so
+        the per-device duplicate stream (and the sort/gather over it)
+        shrinks ~1/n_tile — binning is slab-local, not the full-image
+        duplication of round 1. Sized at 2× the even-split share to
+        absorb uneven splat density across slabs."""
+        if duplicate_capacity is not None:
+            return duplicate_capacity
+        from ..ops.rasterizer.api import default_duplicate_capacity
+        full = default_duplicate_capacity(n_surfels, width, height)
+        if n_tile == 1:
+            return full
+        return -(-(2 * full // n_tile) // 128) * 128
 
     def local_loss(params, aux_state, w2c, K, gt_slab, bg, iteration, row0,
                    c2d_off):
@@ -92,7 +107,7 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
         active_sh = jnp.minimum(iteration // 1000, state.sh_degree)
         res = render(cam, state, bg, active_sh_degree=active_sh,
                      center2d_offset=c2d_off, interpret=interpret,
-                     duplicate_capacity=duplicate_capacity)
+                     duplicate_capacity=slab_capacity(params.xyz.shape[0]))
         image = res.render
         ll1 = l1_loss(image, gt_slab)
         lssim = ssim(image, gt_slab)

@@ -15,10 +15,20 @@ exactly the contract kept here:
 * ``TorchScriptInpainter`` — adapter for a user-supplied callable or
   torchscript module (how ZITS++/LeftRefill plug in on a host with their
   checkpoints; this environment ships no weights).
+* ``DirectoryInpainter`` — the out-of-band *file-exchange* protocol: the
+  TPU host writes each request as image/mask(/reference) PNGs and polls
+  for the result PNG, so the real ZITS++/LeftRefill models can run on a
+  separate GPU host watching the directory. This mirrors how the
+  reference itself already moves every inpaint through the filesystem
+  (``zits_utils.inpaint(img_path, mask_path, out_path)``,
+  ``1_optimization.py:127-199``).
 """
 
 from __future__ import annotations
 
+import json
+import os
+import time
 from typing import Optional, Protocol
 
 import numpy as np
@@ -61,6 +71,78 @@ class DiffuseFillInpainter:
             avg = 0.25 * (up + dn + lf + rt)
             fill[m] = avg[m]
         return np.clip(fill, 0.0, 1.0)
+
+
+class DirectoryInpainter:
+    """File-exchange inpainter: requests under ``<root>/requests/``,
+    results under ``<root>/results/``.
+
+    Request k is the file set ``{k:06d}_image.png``, ``{k:06d}_mask.png``,
+    optionally ``{k:06d}_reference.png``, plus ``{k:06d}.json`` metadata
+    written LAST (the worker's ready signal). The worker answers with
+    ``results/{k:06d}.png``. On timeout the ``fallback`` inpainter is used
+    (or TimeoutError raised if none is given), so the pipeline still
+    completes when no worker is attached.
+    """
+
+    def __init__(self, root: str, poll_interval: float = 0.5,
+                 timeout: float = 600.0, fallback: Optional[Inpainter] = None):
+        self.root = root
+        self.requests = os.path.join(root, "requests")
+        self.results = os.path.join(root, "results")
+        os.makedirs(self.requests, exist_ok=True)
+        os.makedirs(self.results, exist_ok=True)
+        self.poll_interval = poll_interval
+        self.timeout = timeout
+        self.fallback = fallback
+        self.seq = 0
+
+    @staticmethod
+    def _write_png(path, arr):
+        from PIL import Image
+        a = np.asarray(arr)
+        if a.dtype != np.uint8:
+            a = (np.clip(a.astype(np.float32), 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(a).save(path)
+
+    @staticmethod
+    def _read_png(path):
+        from PIL import Image
+        return np.asarray(Image.open(path).convert("RGB"),
+                          np.float32) / 255.0
+
+    def inpaint(self, image, mask, reference=None):
+        k = self.seq
+        self.seq += 1
+        stem = os.path.join(self.requests, f"{k:06d}")
+        self._write_png(stem + "_image.png", image)
+        self._write_png(stem + "_mask.png",
+                        np.asarray(mask, bool).astype(np.uint8) * 255)
+        meta = {"id": k, "mode": "inpaint"}
+        if reference is not None:
+            self._write_png(stem + "_reference.png", reference)
+            meta["mode"] = "reference_guided"
+        tmp = stem + ".json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, stem + ".json")   # atomic ready signal
+
+        result = os.path.join(self.results, f"{k:06d}.png")
+        deadline = time.monotonic() + self.timeout
+        while time.monotonic() < deadline:
+            if os.path.exists(result):
+                # the worker may still be writing; retry a partial file
+                try:
+                    return np.clip(self._read_png(result), 0.0, 1.0)
+                except OSError:
+                    pass
+            time.sleep(self.poll_interval)
+        if self.fallback is not None:
+            return self.fallback.inpaint(image, mask, reference=reference)
+        raise TimeoutError(
+            f"no inpaint worker answered request {k} under {self.root} "
+            f"within {self.timeout}s (attach a worker that reads "
+            f"requests/ and writes results/, or pass a fallback)")
 
 
 class TorchScriptInpainter:

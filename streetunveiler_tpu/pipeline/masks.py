@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -73,4 +74,75 @@ def removal_mask_for_frame(camera, state: SurfelState, removed_mask, bg,
                 depth_without=wo.surf_depth,
                 normal_without=wo.rend_normal,
                 alpha_without=wo.rend_alpha,
+                alpha_full=full.rend_alpha,
                 rgb_full=full.render)
+
+
+def _save_png(path, arr):
+    from PIL import Image
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        a = (np.clip(a.astype(np.float32), 0, 1) * 255).astype(np.uint8)
+    Image.fromarray(a).save(path)
+
+
+def write_inpaint_conditions(scene, state: SurfelState, removed_mask,
+                             workspace: str, bg, sky_images=None,
+                             frames=None, duplicate_capacity=None):
+    """Persist the per-frame stage-B condition artifacts in the reference
+    layout (``2_generate_inpainted_mask.py:94-165``): for every frame
+    ``mask_inpaint/{f:05d}.png|.npy`` (dilated α-difference removal mask),
+    ``inpainted_rgb/`` (background-only render, the inpaint condition),
+    ``inpainted_depth/`` (clamped disparity), ``inpainted_normal/``
+    (0.5·n+0.5), ``original_rgb/`` and ``empty_opacity/`` (α − α_wo),
+    plus ``valid_inpaint_frame.npy``. Returns {frame: mask [H,W] bool}.
+
+    These directories are the filesystem half of the out-of-band inpainter
+    contract — a GPU host running the real ZITS++/LeftRefill consumes them
+    directly, exactly as the reference's stage C does (:127-199)."""
+    dirs = {k: os.path.join(workspace, k)
+            for k in ("mask_inpaint", "inpainted_rgb", "inpainted_depth",
+                      "inpainted_normal", "original_rgb", "empty_opacity")}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    frames = list(range(len(scene.train_cameras))) if frames is None \
+        else list(frames)
+    out_masks = {}
+    valid = []
+    for f in frames:
+        cam = scene.train_cameras[f]
+        cond = removal_mask_for_frame(
+            cam, state, removed_mask, bg,
+            duplicate_capacity=duplicate_capacity)
+        sky = None if sky_images is None else np.asarray(sky_images[f])
+        rgb_full = np.asarray(cond["rgb_full"])
+        rgb_wo = np.asarray(cond["rgb_without"])
+        if sky is not None:
+            # reference composites the sky with the FULL render's alpha in
+            # both images (:113-119)
+            a = np.asarray(cond["alpha_full"])[..., None]
+            rgb_full = rgb_full + sky * (1.0 - a)
+            rgb_wo = rgb_wo + sky * (1.0 - a)
+        mask = np.asarray(cond["mask"], bool)
+        out_masks[f] = mask
+        _save_png(os.path.join(dirs["mask_inpaint"], f"{f:05d}.png"),
+                  mask.astype(np.uint8) * 255)
+        np.save(os.path.join(dirs["mask_inpaint"], f"{f:05d}.npy"), mask)
+        _save_png(os.path.join(dirs["original_rgb"], f"{f:05d}.png"),
+                  rgb_full)
+        _save_png(os.path.join(dirs["inpainted_rgb"], f"{f:05d}.png"),
+                  rgb_wo)
+        disp = 1.0 / np.maximum(np.asarray(cond["depth_without"]), 1e-6)
+        disp[~np.isfinite(disp)] = 0.0
+        _save_png(os.path.join(dirs["inpainted_depth"], f"{f:05d}.png"),
+                  np.repeat(np.clip(disp, 0, 1)[..., None], 3, -1))
+        _save_png(os.path.join(dirs["inpainted_normal"], f"{f:05d}.png"),
+                  np.asarray(cond["normal_without"]) * 0.5 + 0.5)
+        _save_png(os.path.join(dirs["empty_opacity"], f"{f:05d}.png"),
+                  np.abs(np.asarray(cond["alpha_full"])
+                         - np.asarray(cond["alpha_without"])))
+        valid.append(f)
+    np.save(os.path.join(workspace, "valid_inpaint_frame.npy"),
+            np.asarray(valid))
+    return out_masks

@@ -10,6 +10,7 @@ CPU) feeding a vectorized union-find, so it scales past 10⁶ surfels.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -93,6 +94,93 @@ def solid_cluster_mask(clustering: Clustering,
     return np.isin(clustering.labels,
                    np.array(sorted(solid), np.int64)) & (
         clustering.labels >= 0)
+
+
+def render_instance_previews(scene, state: SurfelState,
+                             clustering: Clustering, workspace: str,
+                             bg=None, min_size: int = MIN_SOLID_CLUSTER,
+                             close_depth: float = 4.0,
+                             duplicate_capacity=None) -> np.ndarray:
+    """Per-instance preview renders for human id selection (reference
+    ``1_instance_visualization.py:79-156``).
+
+    For each solid cluster: pick the first frame seeing >90% of its
+    surfels at mean depth < ``close_depth`` (fallback: first frame seeing
+    >50%; reference :86-99), render ONLY the cluster's surfels, and save
+    ``instance_render/<cluster_id>.png``. Also writes
+    ``solid_cluster_mask.npy`` and ``solid_cluster.ply`` (the solid
+    surfels as an RGB cloud, reference ``save_rgb_ply`` :155).
+    Returns the solid-cluster mask."""
+    import jax.numpy as jnp
+    from ..renderer import render
+
+    bg = jnp.zeros(3) if bg is None else jnp.asarray(bg)
+    render_dir = os.path.join(workspace, "instance_render")
+    os.makedirs(render_dir, exist_ok=True)
+    xyz_all = jnp.asarray(state.params.xyz)
+    solid = np.zeros(clustering.labels.shape[0], bool)
+
+    for cid, size in zip(clustering.cluster_ids, clustering.cluster_sizes):
+        if size < min_size:
+            break   # sizes are sorted descending
+        cmask = clustering.labels == int(cid)
+        solid |= cmask
+        cpts = xyz_all[np.where(cmask)[0]]
+
+        pick = -1
+        for idx in range(len(scene.train_cameras)):
+            inside = np.asarray(scene.pcd_in_frame_mask(cpts, idx))
+            if inside.sum() <= 0.9 * cpts.shape[0]:
+                continue
+            _, depth = scene.pcd_pixel_coords(cpts, idx)
+            if float(np.asarray(depth)[inside].mean()) < close_depth:
+                pick = idx
+                break
+        if pick < 0:
+            for idx in range(len(scene.train_cameras)):
+                inside = np.asarray(scene.pcd_in_frame_mask(cpts, idx))
+                if inside.sum() > 0.5 * cpts.shape[0]:
+                    pick = idx
+                    break
+        if pick < 0:
+            continue
+        res = render(scene.train_cameras[pick], state, bg,
+                     opacity_mask=jnp.asarray(cmask),
+                     duplicate_capacity=duplicate_capacity)
+        _save_png(os.path.join(render_dir, f"{int(cid):05d}.png"),
+                  np.asarray(res.render))
+
+    np.save(os.path.join(workspace, "solid_cluster_mask.npy"), solid)
+    _save_rgb_ply(os.path.join(workspace, "solid_cluster.ply"),
+                  np.asarray(state.params.xyz)[solid],
+                  _dc_rgb(state)[solid])
+    return solid
+
+
+def _save_png(path, img):
+    from PIL import Image
+    Image.fromarray((np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+                    ).save(path)
+
+
+def _dc_rgb(state: SurfelState) -> np.ndarray:
+    """Approximate per-surfel RGB from the SH DC band (C0·dc + 0.5)."""
+    dc = np.asarray(state.params.features_dc).reshape(
+        state.capacity, -1)[:, :3]
+    return np.clip(0.28209479177387814 * dc + 0.5, 0, 1)
+
+
+def _save_rgb_ply(path: str, xyz: np.ndarray, rgb: np.ndarray) -> None:
+    """Minimal ASCII xyz+rgb PLY (the reference's ``save_rgb_ply``)."""
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                f"element vertex {xyz.shape[0]}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\nproperty uchar green\n"
+                "property uchar blue\nend_header\n")
+        for p, c in zip(xyz, (rgb * 255).astype(np.uint8)):
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                    f"{c[0]} {c[1]} {c[2]}\n")
 
 
 def removal_mask_for_instances(clustering: Clustering, instance_ids,

@@ -43,6 +43,7 @@ class RenderResult:
     radii: Any           # [C] screen radii (0 = culled)
     expected_depth: Any  # [H, W] unnormalized (allmap ch0)
     median_depth: Any    # [H, W]
+    overflow: Any = False   # [] bool — duplicate stream truncated
 
     @property
     def visibility_filter(self):
@@ -124,6 +125,7 @@ def render(camera: Camera, state: SurfelState, bg,
         radii=out.radii,
         expected_depth=out.expected_depth,
         median_depth=out.median_depth,
+        overflow=getattr(out, "overflow", False),
     )
 
 

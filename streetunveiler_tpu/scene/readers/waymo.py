@@ -24,11 +24,6 @@ from .driving import assemble_driving_scene, load_semantic_npz
 
 WAYMO_CAMERAS = ["camera_FRONT", "camera_FRONT_LEFT", "camera_FRONT_RIGHT"]
 
-# OpenCV camera from waymo's (x forward, y left, z up) convention
-_WAYMO_TO_OPENCV = np.array([[0.0, -1.0, 0.0],
-                             [0.0, 0.0, -1.0],
-                             [1.0, 0.0, 0.0]])
-
 
 def _load_scenario(path):
     import torch
@@ -42,6 +37,8 @@ def read_waymo_info(path: str, colmap_path: str = "",
                     lidar_stride: int = 1):
     scenario = _load_scenario(path)
     observers = scenario["observers"]
+    # tolerate partial rigs (e.g. front-only exports)
+    cameras = [c for c in cameras if c in observers]
 
     def arr(x):
         return np.asarray(x.detach().cpu().numpy()

@@ -41,27 +41,30 @@ class Scene:
         self.cameras_extent = float(scene_info.nerf_normalization["radius"])
         self.camera_frame_dict = scene_info.camera_frame_dict or {}
 
-        self.train_cameras: list[Camera] = []
-        self.train_images: list[Optional[np.ndarray]] = []
-        self.train_semantics: list[Optional[np.ndarray]] = []
-        for ci in scene_info.train_cameras:
-            w, h = resolution_scale_size(ci.width, ci.height, resolution)
-            K = ci.K.copy()
-            K[0, :] *= w / ci.width
-            K[1, :] *= h / ci.height
-            self.train_cameras.append(make_camera(ci.R, ci.T, K, w, h))
-            img = ci.image
-            if img is not None and img.shape[:2] != (h, w):
-                img = _resize(img, w, h)
-            sem = ci.semantics
-            if sem is not None and sem.shape[:2] != (h, w):
-                sem = _resize_nearest(sem, w, h)
-            self.train_images.append(img)
-            self.train_semantics.append(sem)
+        def load_split(cam_infos):
+            cams, images, semantics = [], [], []
+            for ci in cam_infos:
+                w, h = resolution_scale_size(ci.width, ci.height, resolution)
+                K = ci.K.copy()
+                K[0, :] *= w / ci.width
+                K[1, :] *= h / ci.height
+                cams.append(make_camera(ci.R, ci.T, K, w, h))
+                img = ci.image
+                if img is not None and img.shape[:2] != (h, w):
+                    img = _resize(img, w, h)
+                sem = ci.semantics
+                if sem is not None and sem.shape[:2] != (h, w):
+                    sem = _resize_nearest(sem, w, h)
+                images.append(img)
+                semantics.append(sem)
+            return cams, images, semantics
 
-        self.test_cameras = [
-            make_camera(ci.R, ci.T, ci.K, ci.width, ci.height)
-            for ci in scene_info.test_cameras]
+        self.train_cameras, self.train_images, self.train_semantics = \
+            load_split(scene_info.train_cameras)
+        # the held-out split keeps its images so training can evaluate on
+        # it (reference ``training_report``, train.py:244-301)
+        self.test_cameras, self.test_images, self.test_semantics = \
+            load_split(scene_info.test_cameras)
 
     # ----------------------------------------------------------- state
     def create_state(self, capacity: int = 0, sh_degree: int = 3,

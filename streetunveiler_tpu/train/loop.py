@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+from functools import partial
 from typing import Optional
 
 import jax
@@ -33,6 +34,43 @@ class TrainReport:
     psnr: float
     n_alive: int
     iters_per_s: float
+    overflow_frac: float = 0.0   # fraction of window steps whose duplicate
+    #                              stream overflowed (raise capacity if >0)
+    test_psnr: float = float("nan")
+    test_l1: float = float("nan")
+
+
+@partial(jax.jit, static_argnames=("duplicate_capacity",))
+def _eval_view(state, cam, gt, bg, sky_params=None, duplicate_capacity=None):
+    from ..renderer import render
+    from .losses import psnr as psnr_fn
+    res = render(cam, state, bg, duplicate_capacity=duplicate_capacity)
+    img = res.render
+    if sky_params is not None:
+        from ..models.sky import render_sky
+        sky = render_sky(sky_params, cam.height, cam.width, cam.K,
+                         jnp.linalg.inv(cam.w2c))
+        img = img + sky * (1.0 - res.rend_alpha)[..., None]
+    img = jnp.clip(img, 0.0, 1.0)
+    return psnr_fn(img, gt), jnp.mean(jnp.abs(img - gt))
+
+
+def evaluate_views(state, cameras, images, bg, sky_params=None,
+                   max_views: int = 8, duplicate_capacity=None):
+    """Held-out PSNR/L1 over up to ``max_views`` cameras (the reference's
+    ``training_report`` eval pass, train.py:244-301)."""
+    psnrs, l1s = [], []
+    for cam, img in list(zip(cameras, images))[:max_views]:
+        if img is None:
+            continue
+        p, l = _eval_view(state, cam, jnp.asarray(img), bg,
+                          sky_params=sky_params,
+                          duplicate_capacity=duplicate_capacity)
+        psnrs.append(float(p))
+        l1s.append(float(l))
+    if not psnrs:
+        return float("nan"), float("nan")
+    return float(np.mean(psnrs)), float(np.mean(l1s))
 
 
 def train_scene(scene, state: SurfelState, opt: OptimizationParams,
@@ -42,8 +80,13 @@ def train_scene(scene, state: SurfelState, opt: OptimizationParams,
                 duplicate_capacity: Optional[int] = None,
                 use_semantics: bool = False,
                 seed: int = 0, callback=None, logger=None,
-                panel_every: int = 0):
-    """Run the stage-1 loop. Returns (state, sky_params, reports)."""
+                panel_every: int = 0, eval_every: int = 0,
+                eval_max_views: int = 8, opt_state=None,
+                sky_opt_state=None):
+    """Run the stage-1 loop. Returns (state, sky_params, reports).
+
+    Pass ``opt_state``/``sky_opt_state`` from a loaded checkpoint to
+    resume with intact Adam moments (reference train.py:38-47)."""
     iterations = iterations or opt.iterations
     cams = scene.train_cameras
     images = [jnp.asarray(img) for img in scene.train_images]
@@ -56,8 +99,10 @@ def train_scene(scene, state: SurfelState, opt: OptimizationParams,
     densification_interval = max(1, int(1.15 * n_cams))
 
     bg = jnp.zeros(3) if bg is None else jnp.asarray(bg)
-    opt_state = init_optimizer(state)
-    sky_opt_state = adam_init(sky_params) if sky_params is not None else None
+    if opt_state is None:
+        opt_state = init_optimizer(state)
+    if sky_opt_state is None and sky_params is not None:
+        sky_opt_state = adam_init(sky_params)
 
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
@@ -65,6 +110,7 @@ def train_scene(scene, state: SurfelState, opt: OptimizationParams,
     reports: list[TrainReport] = []
     t_window = time.perf_counter()
     window_iters = 0
+    overflow_warned = False
 
     for iteration in range(start_iteration + 1, iterations + 1):
         if not order:
@@ -102,7 +148,154 @@ def train_scene(scene, state: SurfelState, opt: OptimizationParams,
         # surfels except sky|vegetation classes
         if (opt.prune_from_iter < iteration < opt.prune_until_iter
                 and iteration % opt.prune_interval == 0):
-            low = state.get_opacity()[:, 0] < 0.5
+            low = state.get_opacity()[:, 0] < opt.prune_opacity
+            protected = state.semantic_mask(SKY_BIT | VEGETATION_BIT)
+            state = prune_mask(state, low & ~protected)
+
+        if iteration in save_iterations and scene.model_path:
+            scene.save(state, iteration)
+
+        if iteration % log_every == 0 or iteration == iterations:
+            dt = time.perf_counter() - t_window
+            # overflow sampled at the log boundary only (a per-step check
+            # would sync the device every iteration)
+            ovf = bool(metrics["overflow"])
+            if ovf:
+                if not overflow_warned:
+                    print("WARNING: rasterizer duplicate stream overflowed "
+                          "— farthest surfels dropped; raise "
+                          "duplicate_capacity", flush=True)
+                    overflow_warned = True
+            test_psnr, test_l1 = float("nan"), float("nan")
+            if (eval_every and scene.test_cameras
+                    and (iteration % eval_every == 0
+                         or iteration == iterations)):
+                test_psnr, test_l1 = evaluate_views(
+                    state, scene.test_cameras,
+                    getattr(scene, "test_images", []), bg,
+                    sky_params=sky_params, max_views=eval_max_views,
+                    duplicate_capacity=duplicate_capacity)
+            rep = TrainReport(iteration=iteration,
+                              loss=float(metrics["loss"]),
+                              psnr=float(metrics["psnr"]),
+                              n_alive=int(metrics["n_alive"]),
+                              iters_per_s=window_iters / max(dt, 1e-9),
+                              overflow_frac=float(ovf),
+                              test_psnr=test_psnr, test_l1=test_l1)
+            reports.append(rep)
+            if callback:
+                callback(rep)
+            if logger is not None:
+                cam = cams[idx]
+                scalars = {
+                    "train/loss": rep.loss, "train/psnr": rep.psnr,
+                    "train/l1": float(metrics["l1"]),
+                    "train/ssim": float(metrics["ssim"]),
+                    "train/semantic": float(metrics["semantic"]),
+                    "model/n_alive": rep.n_alive,
+                    "model/overflow": rep.overflow_frac,
+                    "perf/iters_per_s": rep.iters_per_s,
+                    "perf/rays_per_s": rep.iters_per_s * cam.width
+                    * cam.height}
+                if np.isfinite(rep.test_psnr):
+                    scalars["test/psnr"] = rep.test_psnr
+                    scalars["test/l1"] = rep.test_l1
+                logger.scalars(iteration, scalars)
+                if panel_every and iteration % panel_every == 0:
+                    from ..renderer import render as _render
+                    res = _render(cams[0], state, bg)
+                    logger.image(iteration, "panels/render",
+                                 np.clip(np.asarray(res.render), 0, 1))
+            t_window = time.perf_counter()
+            window_iters = 0
+
+    return state, sky_params, reports
+
+
+def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
+                        n_tile: int = 1, n_data: int = 1, sky_params=None,
+                        bg=None, start_iteration: int = 0,
+                        iterations: Optional[int] = None,
+                        save_iterations=(), log_every: int = 200,
+                        duplicate_capacity: Optional[int] = None,
+                        shard_surfels: bool = False, seed: int = 0,
+                        callback=None, logger=None, opt_state=None):
+    """Multi-chip stage-1 loop over a (data × tile) device mesh
+    (SURVEY.md §2.4, BASELINE configs 3/5).
+
+    Each step consumes a batch of ``n_data`` cameras, every device
+    rasterizing its row slab of the image; surfel grads are pmean'd over
+    the mesh and densify/prune run replicated between steps. The semantic
+    losses are not yet in the sharded executable (single-chip path covers
+    them); photometric + normal + distortion match ``train_step``.
+    """
+    from ..parallel.shard import make_mesh, make_sharded_train_step
+    iterations = iterations or opt.iterations
+    cams = scene.train_cameras
+    n_cams = len(cams)
+    w = cams[0].width
+    h = cams[0].height
+    assert all(c.width == w and c.height == h for c in cams), (
+        "sharded training assumes equal image sizes (bucket cameras)")
+    densification_interval = max(1, int(1.15 * n_cams))
+    bg = jnp.zeros(3) if bg is None else jnp.asarray(bg)
+    if opt_state is None:
+        opt_state = init_optimizer(state)
+
+    mesh = make_mesh(n_data, n_tile)
+    step = make_sharded_train_step(mesh, opt, w, h,
+                                   duplicate_capacity=duplicate_capacity,
+                                   shard_surfels=shard_surfels)
+    if shard_surfels:
+        from ..parallel.shard import surfel_sharding
+        sh = surfel_sharding(mesh)
+        state = dataclasses.replace(
+            state, params=jax.device_put(state.params, sh))
+        opt_state = opt_state._replace(mu=jax.device_put(opt_state.mu, sh),
+                                       nu=jax.device_put(opt_state.nu, sh))
+
+    w2c_all = jnp.stack([c.w2c for c in cams])
+    k_all = jnp.stack([c.K for c in cams])
+    gt_all = np.stack([np.asarray(img) for img in scene.train_images])
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    order: list[int] = []
+    reports: list[TrainReport] = []
+    t_window = time.perf_counter()
+    window_iters = 0
+
+    for iteration in range(start_iteration + 1, iterations + 1):
+        batch = []
+        for _ in range(n_data):
+            if not order:
+                order = list(rng.permutation(n_cams))
+            batch.append(int(order.pop()))
+        bidx = np.asarray(batch)
+        state, opt_state, metrics = step(
+            state, opt_state, w2c_all[bidx], k_all[bidx],
+            jnp.asarray(gt_all[bidx]), bg, jnp.asarray(iteration))
+        window_iters += 1
+
+        if iteration < opt.densify_until_iter:
+            if (iteration > opt.densify_from_iter
+                    and iteration % densification_interval == 0):
+                size_threshold = (20.0
+                                  if iteration > opt.opacity_reset_interval
+                                  else None)
+                key, sub = jax.random.split(key)
+                state, mu, nu = densify_and_prune(
+                    state, opt_state.mu, opt_state.nu,
+                    opt.densify_grad_threshold, opt.opacity_cull,
+                    size_threshold, sub, percent_dense=opt.percent_dense)
+                opt_state = opt_state._replace(mu=mu, nu=nu)
+            if iteration % opt.opacity_reset_interval == 0:
+                state, mu, nu = reset_opacity(state, opt_state.mu,
+                                              opt_state.nu)
+                opt_state = opt_state._replace(mu=mu, nu=nu)
+        if (opt.prune_from_iter < iteration < opt.prune_until_iter
+                and iteration % opt.prune_interval == 0):
+            low = state.get_opacity()[:, 0] < opt.prune_opacity
             protected = state.semantic_mask(SKY_BIT | VEGETATION_BIT)
             state = prune_mask(state, low & ~protected)
 
@@ -113,28 +306,18 @@ def train_scene(scene, state: SurfelState, opt: OptimizationParams,
             dt = time.perf_counter() - t_window
             rep = TrainReport(iteration=iteration,
                               loss=float(metrics["loss"]),
-                              psnr=float(metrics["psnr"]),
-                              n_alive=int(metrics["n_alive"]),
+                              psnr=float("nan"),
+                              n_alive=int(state.num_alive),
                               iters_per_s=window_iters / max(dt, 1e-9))
             reports.append(rep)
             if callback:
                 callback(rep)
             if logger is not None:
-                cam = cams[idx]
                 logger.scalars(iteration, {
-                    "train/loss": rep.loss, "train/psnr": rep.psnr,
-                    "train/l1": float(metrics["l1"]),
-                    "train/ssim": float(metrics["ssim"]),
-                    "train/semantic": float(metrics["semantic"]),
+                    "train/loss": rep.loss,
                     "model/n_alive": rep.n_alive,
                     "perf/iters_per_s": rep.iters_per_s,
-                    "perf/rays_per_s": rep.iters_per_s * cam.width
-                    * cam.height})
-                if panel_every and iteration % panel_every == 0:
-                    from ..renderer import render as _render
-                    res = _render(cams[0], state, bg)
-                    logger.image(iteration, "panels/render",
-                                 np.clip(np.asarray(res.render), 0, 1))
+                    "perf/rays_per_s": rep.iters_per_s * w * h * n_data})
             t_window = time.perf_counter()
             window_iters = 0
 
