@@ -42,12 +42,76 @@ def build_scene(n, seed=0):
     return pts, scales, quats, opac, cols
 
 
+def semantic_main():
+    """Late-phase stage-1 step bench: RGB + 2 semantic passes + 5
+    per-class distortion renders, fwd+bwd (reference train.py:94-105 —
+    the real post-27.5k executable, 8 rasterizations/step)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from streetunveiler_tpu.config import OptimizationParams
+    from streetunveiler_tpu.models.gaussians import create_from_pcd
+    from streetunveiler_tpu.scene.cameras import Camera
+    from streetunveiler_tpu.train.step import stage1_loss
+
+    n = 200_000
+    W, H, f = 1920, 1280, 1000.0
+    iters = 3
+
+    pts, scales, quats, opac, cols = build_scene(n)
+    rng = np.random.default_rng(1)
+    sem = rng.integers(0, 6, n)
+    state = create_from_pcd(pts, cols, sem, spatial_scale=30.0,
+                            capacity=n, sh_degree=3)
+    cam = Camera(w2c=jnp.eye(4),
+                 K=jnp.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]],
+                             jnp.float32), width=W, height=H)
+    gt = jnp.zeros((H, W, 3))
+    gt_sem = jnp.asarray(rng.integers(0, 6, (H, W)))
+    bg = jnp.zeros(3)
+    opt = OptimizationParams()
+
+    def loss(params, it):
+        st = dataclasses.replace(state, params=params)
+        l, _ = stage1_loss(st, cam, gt, bg, it, opt, gt_semantic=gt_sem,
+                           class_dist=True)
+        return l
+
+    gfn = jax.grad(loss)
+
+    @jax.jit
+    def multi(params):
+        def body(i, p):
+            g = gfn(p, jnp.asarray(28_000) + i)
+            return jax.tree.map(lambda a, b: a + 1e-12 * b, p, g)
+        return jax.lax.fori_loop(0, iters, body, params)
+
+    r = multi(state.params)
+    jax.block_until_ready(r.xyz)
+    import dataclasses as dc
+    p2 = dc.replace(state.params, xyz=state.params.xyz + 1e-6)
+    t0 = time.perf_counter()
+    r = multi(p2)
+    jax.block_until_ready(r.xyz)
+    dt = (time.perf_counter() - t0) / iters
+    # 8 rasterizations/step at W*H rays each
+    print(json.dumps({
+        "metric": "2dgs_semantic_step_rays_per_s_1920x1280",
+        "value": round(8 * W * H / dt, 1),
+        "unit": "rays/s (8 passes/step)",
+        "vs_baseline": round((8 * W * H / dt) / BASELINE_RAYS_PER_S, 4),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from streetunveiler_tpu.ops.rasterizer import RasterizeSettings, rasterize
     from streetunveiler_tpu.ops.rasterizer.api import \
         default_duplicate_capacity
+
+    if "--semantic" in sys.argv:
+        return semantic_main()
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     W, H, f = 1920, 1280, 1000.0

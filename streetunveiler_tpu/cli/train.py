@@ -95,6 +95,7 @@ def main(argv=None):
     info = load_scene_info(model, seed=args.seed)
     scene = Scene(info, model_path=args.model_path,
                   resolution=args.resolution)
+    scene.save_cameras_json()   # reference scene/__init__.py:79-83
     state = scene.create_state(capacity=args.capacity)
     print(f"scene: {len(scene.train_cameras)} train / "
           f"{len(scene.test_cameras)} test cameras, "
@@ -131,6 +132,9 @@ def main(argv=None):
             line += f" test_psnr={r.test_psnr:.2f}"
         print(line, flush=True)
 
+    from ..utils.logging import TrainLogger
+    logger = TrainLogger(os.path.join(args.model_path, "logs"))
+
     n_mesh = args.tile_devices * args.data_devices
     if n_mesh > 1:
         from ..train.loop import train_scene_sharded
@@ -139,14 +143,16 @@ def main(argv=None):
             n_data=args.data_devices, sky_params=sky_params,
             iterations=iterations, start_iteration=start_iteration,
             save_iterations=saves, log_every=args.log_every,
-            duplicate_capacity=dup_cap, seed=args.seed, callback=report)
+            duplicate_capacity=dup_cap, seed=args.seed, callback=report,
+            logger=logger, opt_state=opt_state)
     else:
         state, sky_params, _ = train_scene(
             scene, state, opt, sky_params=sky_params,
             iterations=iterations, start_iteration=start_iteration,
             save_iterations=saves, log_every=args.log_every,
             eval_every=args.eval_every, duplicate_capacity=dup_cap,
-            use_semantics=args.semantics, seed=args.seed, callback=report)
+            use_semantics=args.semantics, seed=args.seed, callback=report,
+            logger=logger, opt_state=opt_state)
 
     ckpt_dir = os.path.join(args.model_path, "checkpoint",
                             f"iteration_{iterations}")

@@ -242,7 +242,19 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
         state_ref[:, 0:1] = 1.0 - acc_ref[0][:, 6:7]
         state_ref[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
 
-    @pl.when(last_ref[v] >= 0)
+    # Early-termination skip, mirroring the forward's done sentinel: if
+    # every pixel's last contributor precedes this chunk, no pair has
+    # gidx ≤ lk — the visit is gradient-free. Suffix state is unchanged
+    # (all klogom = 0); only the chunk gradient block needs its init.
+    dead = jnp.max(lk_ref[0]) < chunk_of_ref[v] * s
+
+    @pl.when(jnp.logical_and(last_ref[v] >= 0, dead))
+    def _():
+        @pl.when(init_ref[v] > 0)
+        def _():
+            dgrad_ref[:, :] = jnp.zeros_like(dgrad_ref)
+
+    @pl.when(jnp.logical_and(last_ref[v] >= 0, jnp.logical_not(dead)))
     def _():
         gq = dacc_ref[0][:, 0:NQ]                # [P, NQ]
         galpha = dacc_ref[0][:, 6:7]

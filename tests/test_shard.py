@@ -70,3 +70,33 @@ def test_sharded_step_matches_loss_and_runs():
     assert np.isfinite(float(m2["loss"]))
     # densification stats accumulated through the sharded path
     assert float(s2.denom.max()) > 0
+
+
+def test_slab_ssim_approximation_bound():
+    """The sharded loss computes windowed SSIM per row-slab (windows never
+    cross slab boundaries) — quantify the deviation vs full-image SSIM
+    instead of hand-waving it: with an 11px window on 16px slabs of a
+    128px image the error stays well under 1% for natural-statistics
+    images (shard.py module docstring, O(window/H))."""
+    import jax.numpy as jnp
+    import numpy as np
+    from streetunveiler_tpu.train.losses import ssim
+
+    rng = np.random.default_rng(0)
+    h, w, n_slab = 128, 96, 8
+    # smooth "natural" images: blurred noise
+    def smooth(seed):
+        x = np.random.default_rng(seed).random((h, w, 3)).astype(np.float32)
+        k = np.ones((5, 5, 1)) / 25.0
+        from scipy.signal import convolve
+        return np.clip(convolve(x, k, mode="same"), 0, 1)
+
+    a = smooth(1)
+    b = np.clip(a + 0.1 * (smooth(2) - 0.5), 0, 1)
+    full = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    slab = h // n_slab
+    per = [float(ssim(jnp.asarray(a[i * slab:(i + 1) * slab]),
+                      jnp.asarray(b[i * slab:(i + 1) * slab])))
+           for i in range(n_slab)]
+    approx = float(np.mean(per))
+    assert abs(full - approx) < 0.01, (full, approx)
