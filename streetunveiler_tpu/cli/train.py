@@ -58,6 +58,9 @@ def main(argv=None):
     ap.add_argument("--data_devices", type=int, default=1)
     ap.add_argument("--multihost", action="store_true",
                     help="jax.distributed.initialize() before device use")
+    ap.add_argument("--profile", action="store_true",
+                    help="write a jax.profiler trace of 3 warm steps to "
+                         "<model_path>/logs/profile before training")
     ap.add_argument("--seed", type=int, default=0)
     args, rest = ap.parse_known_args(argv)
 
@@ -134,6 +137,24 @@ def main(argv=None):
 
     from ..utils.logging import TrainLogger
     logger = TrainLogger(os.path.join(args.model_path, "logs"))
+
+    if args.profile:
+        import jax.numpy as jnp
+        from ..train.step import train_step
+        from ..utils.logging import profile_trace
+        cam0 = scene.train_cameras[0]
+        img0 = jnp.asarray(scene.train_images[0])
+        bg0 = jnp.zeros(3)
+        s, o = state, opt_state
+        s, o, *_ = train_step(s, o, cam0, img0, bg0, jnp.asarray(1), opt,
+                              duplicate_capacity=dup_cap)   # compile
+        with profile_trace(os.path.join(args.model_path, "logs")):
+            for i in range(3):
+                s, o, *_ = train_step(s, o, cam0, img0, bg0,
+                                      jnp.asarray(2 + i), opt,
+                                      duplicate_capacity=dup_cap)
+            jax.block_until_ready(s.params.xyz)
+        del s, o
 
     n_mesh = args.tile_devices * args.data_devices
     if n_mesh > 1:

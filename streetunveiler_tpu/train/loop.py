@@ -254,9 +254,15 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
         opt_state = opt_state._replace(mu=jax.device_put(opt_state.mu, sh),
                                        nu=jax.device_put(opt_state.nu, sh))
 
-    w2c_all = jnp.stack([c.w2c for c in cams])
-    k_all = jnp.stack([c.K for c in cams])
+    from ..parallel.multihost import make_global_batch
+    w2c_all = np.stack([np.asarray(c.w2c) for c in cams])
+    k_all = np.stack([np.asarray(c.K) for c in cams])
     gt_all = np.stack([np.asarray(img) for img in scene.train_images])
+    # multi-host: each process draws the same camera order (same seed) and
+    # contributes its slice of the global batch; single-process this is a
+    # plain sharded device_put (parallel/multihost.py)
+    n_proc = jax.process_count()
+    per_proc = n_data // max(n_proc, 1)
 
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
@@ -271,10 +277,14 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
             if not order:
                 order = list(rng.permutation(n_cams))
             batch.append(int(order.pop()))
-        bidx = np.asarray(batch)
+        # this host materializes only its slice of the (deterministic)
+        # global batch; make_global_batch assembles the sharded arrays
+        lo = jax.process_index() * per_proc
+        bidx = np.asarray(batch[lo:lo + per_proc] if n_proc > 1 else batch)
+        w2c_b, k_b, gt_b = make_global_batch(mesh, w2c_all[bidx],
+                                             k_all[bidx], gt_all[bidx])
         state, opt_state, metrics = step(
-            state, opt_state, w2c_all[bidx], k_all[bidx],
-            jnp.asarray(gt_all[bidx]), bg, jnp.asarray(iteration))
+            state, opt_state, w2c_b, k_b, gt_b, bg, jnp.asarray(iteration))
         window_iters += 1
 
         if iteration < opt.densify_until_iter:

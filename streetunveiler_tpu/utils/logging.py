@@ -55,3 +55,42 @@ class TrainLogger:
         if self.tb is not None:
             self.tb.close()
         self.jsonl.close()
+
+
+class profile_trace:
+    """``jax.profiler`` trace hook (SURVEY.md §5 tracing: the reference
+    only has CUDA-event timing, train.py:52-53; on TPU the real tool is
+    an XLA trace viewed in TensorBoard/XProf).
+
+        with profile_trace(model_path):        # writes <dir>/plugins/...
+            for _ in range(3): step(...)
+
+    No-ops (with a warning) when the profiler backend is unavailable —
+    e.g. through the axon remote relay, where tools/profile_raster.py's
+    jitted stage breakdown is the supported alternative.
+    """
+
+    def __init__(self, log_dir: str, enabled: bool = True):
+        self.dir = os.path.join(log_dir, "profile")
+        self.enabled = enabled
+        self.active = False
+
+    def __enter__(self):
+        if not self.enabled:
+            return self
+        try:
+            import jax
+            os.makedirs(self.dir, exist_ok=True)
+            jax.profiler.start_trace(self.dir)
+            self.active = True
+        except Exception as e:  # backend without profiler support
+            print(f"profiler trace unavailable ({e}); "
+                  "use tools/profile_raster.py for the stage breakdown")
+        return self
+
+    def __exit__(self, *exc):
+        if self.active:
+            import jax
+            jax.profiler.stop_trace()
+            print(f"wrote profiler trace to {self.dir}")
+        return False
