@@ -193,17 +193,23 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
         m1 = acc[:, 9:10] + jnp.sum(wm, axis=1, keepdims=True)
         m2 = acc[:, 10:11] + jnp.sum(wm * m, axis=1, keepdims=True)
 
+        # Max-reductions run in f32: Mosaic lowers int32 lane-wide max
+        # reductions ~14x slower than f32 (measured in tools/bisect_fwd.py:
+        # these two blocks in int32 cost ~4us/visit EACH, 2/3 of the whole
+        # kernel; in f32 the full kernel runs 3x faster). All values here
+        # are integers < 2^24, exact in f32.
+        iota_f = iota_s.astype(jnp.float32)
         cand = (w > 0.0) & (t_excl > MEDIAN_T)
-        best = jnp.max(jnp.where(cand, iota_s, -1), axis=1, keepdims=True)
-        onehot = (iota_s == best) & cand
-        med = jnp.where(best >= 0,
+        bestf = jnp.max(jnp.where(cand, iota_f, -1.0), axis=1,
+                        keepdims=True)
+        onehot = (iota_f == bestf) & cand
+        med = jnp.where(bestf >= 0,
                         jnp.sum(jnp.where(onehot, tdep, 0.0), axis=1,
                                 keepdims=True), acc[:, 11:12])
 
-        gidx = chunk_of_ref[v] * s + iota_s
-        lk_ref[0] = jnp.maximum(
-            lk_ref[0], jnp.max(jnp.where(keep, gidx, -1), axis=1,
-                               keepdims=True))
+        gidxf = (chunk_of_ref[v] * s).astype(jnp.float32) + iota_f
+        lkf = jnp.max(jnp.where(keep, gidxf, -1.0), axis=1, keepdims=True)
+        lk_ref[0] = jnp.maximum(lk_ref[0], lkf.astype(jnp.int32))
 
         kept_logom = jnp.where(keep, logom, 0.0)
         t_out = t_carry * jnp.exp(jnp.sum(kept_logom, axis=1, keepdims=True))
@@ -246,7 +252,10 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
     # every pixel's last contributor precedes this chunk, no pair has
     # gidx ≤ lk — the visit is gradient-free. Suffix state is unchanged
     # (all klogom = 0); only the chunk gradient block needs its init.
-    dead = jnp.max(lk_ref[0]) < chunk_of_ref[v] * s
+    # f32 max: int32 reductions lower pathologically in Mosaic (see the
+    # forward kernel's med/lk comment); lk < 2^24 so f32 is exact
+    dead = jnp.max(lk_ref[0].astype(jnp.float32)) < (
+        chunk_of_ref[v] * s).astype(jnp.float32)
 
     @pl.when(jnp.logical_and(last_ref[v] >= 0, dead))
     def _():
