@@ -19,8 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .kernel import (CH, PIX, S_CHUNK, TILE_H, TILE_W, blend_stream,
-                     pack_geometry_T)
+from .kernel import (CH, NQ, PIX, S_CHUNK, TILE_H, TILE_W, blend_stream,
+                     ch_for, pack_geometry_T)
 from .preprocess import preprocess_surfels
 from .tiles import bin_surfels_stream
 from .types import RasterizeSettings, RenderOutput
@@ -38,11 +38,18 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
               max_tiles_per_surfel: int = 64,
               duplicate_capacity: int | None = None,
               center2d_offset=None,
-              interpret: bool | None = None) -> RenderOutput:
+              interpret: bool | None = None,
+              extra_payload=None) -> RenderOutput:
     """Differentiable tiled 2DGS render (Pallas TPU kernels).
 
     Same semantics as ``rasterize_oracle`` (tested to match); activated
-    scales/opacities, ``colors`` [N, 3]."""
+    scales/opacities, ``colors`` [N, 3].
+
+    ``extra_payload`` [N, E] blends E additional per-surfel channels with
+    the same compositing weights in the SAME kernel pass (returned as
+    ``out.extra`` [H, W, E]) — how the fused train step renders semantic
+    class probabilities without extra rasterizations (the reference runs
+    2 whole extra passes, gaussian_renderer/__init__.py:347-369)."""
     if interpret is None:
         # Mosaic only compiles for TPU; tests/virtual-device meshes run on
         # the CPU backend through the Pallas interpreter.
@@ -61,6 +68,9 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
     sur = preprocess_surfels(means3d, scales, quats, opacities, colors,
                              w2c, K, settings, center2d_offset=center2d_offset)
 
+    nq = NQ + (0 if extra_payload is None else extra_payload.shape[1])
+    ch = ch_for(nq)
+
     sg = jax.lax.stop_gradient
     binning = bin_surfels_stream(sg(sur.center2d), sg(sur.ext),
                                  sg(sur.depth), sur.valid, settings.width,
@@ -68,46 +78,50 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
                                  duplicate_capacity, max_tiles_per_surfel)
 
     # lane-axis gather of the packed records — the step's one unavoidable
-    # per-duplicate gather; builds the kernels' [REC, cap] layout directly
-    recT = jnp.take(pack_geometry_T(sur, n), binning.sorted_surfel, axis=1)
+    # per-duplicate gather; builds the kernels' [rec, cap] layout directly
+    recT = jnp.take(pack_geometry_T(sur, n, extra_payload),
+                    binning.sorted_surfel, axis=1)
 
     num_tiles = binning.tiles_x * binning.tiles_y
     acc, lk = blend_stream(recT, binning.tile_of_visit,
                            binning.chunk_of_visit, binning.first_of_tile,
                            binning.last_of_tile, binning.init_rev,
                            binning.lane_lo, binning.lane_hi,
-                           num_tiles, binning.tiles_x, settings, interpret)
+                           num_tiles, binning.tiles_x, settings, interpret,
+                           nq)
 
     # tiles with no duplicates have no visits → mask their garbage blocks
     counts = binning.tile_offsets[1:] - binning.tile_offsets[:-1]
     acc = jnp.where((counts > 0)[:, None, None], acc, 0.0)
 
-    # [T, PIX, CH] → [CH, H, W]
+    # [T, PIX, ch] → [ch, H, W]
     h, w_img = settings.height, settings.width
-    img = acc.reshape(binning.tiles_y, binning.tiles_x, TILE_H, TILE_W, CH)
+    img = acc.reshape(binning.tiles_y, binning.tiles_x, TILE_H, TILE_W, ch)
     img = img.transpose(4, 0, 2, 1, 3).reshape(
-        CH, binning.tiles_y * TILE_H, binning.tiles_x * TILE_W)
+        ch, binning.tiles_y * TILE_H, binning.tiles_x * TILE_W)
     img = img[:, :h, :w_img]
 
     color = jnp.moveaxis(img[0:3], 0, -1)
-    alpha = img[6]
+    alpha = img[nq]
     if bg is not None:
         color = color + (1.0 - alpha)[..., None] * bg
 
     # Depth distortion via the symmetric-pair identity: the ordered pairwise
     # sum Σ_{j<i} w_i w_j (m_i−m_j)² telescopes to alpha·M2 − M1² — exact,
     # and its backward flows through the channel cotangents automatically.
-    m1 = img[9]
-    m2 = img[10]
+    m1 = img[nq + 3]
+    m2 = img[nq + 4]
     distortion = alpha * m2 - m1 * m1
 
     return RenderOutput(
         color=color,
         alpha=alpha,
-        expected_depth=img[7],
+        expected_depth=img[nq + 1],
         normal=jnp.moveaxis(img[3:6], 0, -1),
-        median_depth=jax.lax.stop_gradient(img[11]),
+        median_depth=jax.lax.stop_gradient(img[nq + 5]),
         distortion=distortion,
         radii=sur.radius,
         overflow=binning.overflow,
+        extra=(None if extra_payload is None
+               else jnp.moveaxis(img[6:nq], 0, -1)),
     )

@@ -65,10 +65,21 @@ PIX = TILE_H * TILE_W          # 512 pixels (sublanes) per tile. Measured
 #                                but grow duplicates 49% (gather+sort);
 #                                32×16 is the total-work sweet spot.
 S_CHUNK = 128                  # surfels (lanes) per chunk
-REC = 24                       # packed per-duplicate record rows
 Q_ROW0 = 14                    # first payload row (color) within the record
-NQ = 6                         # payload channels (3 color + 3 normal)
-CH = 12                        # accumulator channels (see module docstring)
+NQ = 6                         # default payload channels (3 color + 3 normal)
+REC = 24                       # record rows at the default NQ
+CH = 12                        # accumulator channels at the default NQ
+
+
+def rec_for(nq: int) -> int:
+    """Packed record rows for an nq-channel payload (8-sublane aligned)."""
+    return -(-(Q_ROW0 + nq) // 8) * 8
+
+
+def ch_for(nq: int) -> int:
+    """Accumulator channels: nq payload + alpha, expected-depth, spare,
+    m1, m2, median (same tail layout at every nq)."""
+    return nq + 6
 
 
 def _prefix_mat(s, mode, dtype=jnp.float32):
@@ -126,11 +137,11 @@ def _pair_fn(chunk, px, py, znear):
                             chunk[13:14, :] > 0.5, px, py, znear)
 
 
-def _payload_sums(w, qc):
-    """Σ_s w·qc_k per pixel, exact f32 lane reductions → [P, NQ]."""
+def _payload_sums(w, qc, nq):
+    """Σ_s w·qc_k per pixel, exact f32 lane reductions → [P, nq]."""
     return jnp.concatenate(
         [jnp.sum(w * qc[k:k + 1, :], axis=1, keepdims=True)
-         for k in range(NQ)], axis=1)
+         for k in range(nq)], axis=1)
 
 
 # ----------------------------------------------------------------- forward
@@ -144,7 +155,9 @@ def _payload_sums(w, qc):
 # this pipelined form removes it entirely.
 
 def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
-                rec_ref, acc_ref, lk_ref, state_ref, *, tiles_x, znear, zfar):
+                rec_ref, acc_ref, lk_ref, state_ref, *, tiles_x, znear,
+                zfar, nq=NQ):
+    ch = ch_for(nq)
     s = S_CHUNK
     v = pl.program_id(0)
     px, py = _tile_pixel_coords(tile_of_ref[v], tiles_x)
@@ -152,7 +165,7 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
 
     @pl.when(first_ref[v] > 0)
     def _():
-        acc_ref[0] = jnp.zeros((PIX, CH), jnp.float32)
+        acc_ref[0] = jnp.zeros((PIX, ch), jnp.float32)
         lk_ref[0] = jnp.full((PIX, 1), -1, jnp.int32)
         # state cols: 0 transmittance, 1 done flag
         state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
@@ -164,7 +177,7 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
     @pl.when(jnp.logical_not(skip))
     def _():
         chunk = rec_ref[:, :]
-        qc = chunk[Q_ROW0:Q_ROW0 + NQ]
+        qc = chunk[Q_ROW0:Q_ROW0 + nq]
         acc = acc_ref[0]
         t_carry = state_ref[:, 0:1]
         done = state_ref[:, 1:2] > 0.5
@@ -185,13 +198,14 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
                               keepdims=True)
         w = jnp.where(keep, a * t_excl, 0.0)
 
-        cn = acc[:, 0:NQ] + _payload_sums(w, qc)        # [P, NQ]
-        alpha = acc[:, 6:7] + jnp.sum(w, axis=1, keepdims=True)
-        deptha = acc[:, 7:8] + jnp.sum(w * tdep, axis=1, keepdims=True)
+        cn = acc[:, 0:nq] + _payload_sums(w, qc, nq)    # [P, nq]
+        alpha = acc[:, nq:nq + 1] + jnp.sum(w, axis=1, keepdims=True)
+        deptha = acc[:, nq + 1:nq + 2] + jnp.sum(w * tdep, axis=1,
+                                                 keepdims=True)
         m = map_depth(tdep, znear, zfar)
         wm = w * m
-        m1 = acc[:, 9:10] + jnp.sum(wm, axis=1, keepdims=True)
-        m2 = acc[:, 10:11] + jnp.sum(wm * m, axis=1, keepdims=True)
+        m1 = acc[:, nq + 3:nq + 4] + jnp.sum(wm, axis=1, keepdims=True)
+        m2 = acc[:, nq + 4:nq + 5] + jnp.sum(wm * m, axis=1, keepdims=True)
 
         # Max-reductions run in f32: Mosaic lowers int32 lane-wide max
         # reductions ~14x slower than f32 (measured in tools/bisect_fwd.py:
@@ -205,7 +219,7 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
         onehot = (iota_f == bestf) & cand
         med = jnp.where(bestf >= 0,
                         jnp.sum(jnp.where(onehot, tdep, 0.0), axis=1,
-                                keepdims=True), acc[:, 11:12])
+                                keepdims=True), acc[:, nq + 5:nq + 6])
 
         gidxf = (chunk_of_ref[v] * s).astype(jnp.float32) + iota_f
         lkf = jnp.max(jnp.where(keep, gidxf, -1.0), axis=1, keepdims=True)
@@ -216,7 +230,7 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
         done = jnp.logical_or(done, trigger_any)
 
         acc_ref[0] = jnp.concatenate(
-            [cn, alpha, deptha, acc[:, 8:9], m1, m2, med], axis=1)
+            [cn, alpha, deptha, acc[:, nq + 2:nq + 3], m1, m2, med], axis=1)
         state_ref[:, 0:1] = t_out
         # done-flag doubles as the tile-wide skip sentinel (2.0)
         done_f = done.astype(jnp.float32)
@@ -236,7 +250,7 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
 
 def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
                 hi_ref, rec_ref, acc_ref, lk_ref, dacc_ref, dgrad_ref,
-                state_ref, *, num_visits, tiles_x, znear, zfar):
+                state_ref, *, num_visits, tiles_x, znear, zfar, nq=NQ):
     s = S_CHUNK
     v = num_visits - 1 - pl.program_id(0)
     px, py = _tile_pixel_coords(tile_of_ref[v], tiles_x)
@@ -245,7 +259,7 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
     @pl.when(last_ref[v] > 0)
     def _():
         # state cols: 0 suffix transmittance U, 1 suffix Σ ωΩ
-        state_ref[:, 0:1] = 1.0 - acc_ref[0][:, 6:7]
+        state_ref[:, 0:1] = 1.0 - acc_ref[0][:, nq:nq + 1]
         state_ref[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
 
     # Early-termination skip, mirroring the forward's done sentinel: if
@@ -265,17 +279,17 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
 
     @pl.when(jnp.logical_and(last_ref[v] >= 0, jnp.logical_not(dead)))
     def _():
-        gq = dacc_ref[0][:, 0:NQ]                # [P, NQ]
-        galpha = dacc_ref[0][:, 6:7]
-        gdepth = dacc_ref[0][:, 7:8]
-        gm1 = dacc_ref[0][:, 9:10]
-        gm2 = dacc_ref[0][:, 10:11]
+        gq = dacc_ref[0][:, 0:nq]                # [P, nq]
+        galpha = dacc_ref[0][:, nq:nq + 1]
+        gdepth = dacc_ref[0][:, nq + 1:nq + 2]
+        gm1 = dacc_ref[0][:, nq + 3:nq + 4]
+        gm2 = dacc_ref[0][:, nq + 4:nq + 5]
         lk = lk_ref[0]
         u_in = state_ref[:, 0:1]
         ssuf = state_ref[:, 1:2]
 
         chunk = rec_ref[:, :]
-        qc = chunk[Q_ROW0:Q_ROW0 + NQ]
+        qc = chunk[Q_ROW0:Q_ROW0 + nq]
 
         pair = functools.partial(_pair_fn, px=px, py=py, znear=znear)
         (a, tdep), pair_vjp = jax.vjp(pair, chunk)
@@ -295,7 +309,7 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
         # NQ-rank contraction as VPU outer-product adds (MXU would pad to
         # 128); distortion cotangents arrive folded into galpha/gm1/gm2.
         gq_qc = jnp.zeros_like(a)
-        for kk in range(NQ):
+        for kk in range(nq):
             gq_qc = gq_qc + gq[:, kk:kk + 1] * qc[kk:kk + 1, :]
         omega = gq_qc + galpha + gdepth * tdep + gm1 * m + gm2 * m * m
         womega = w * omega
@@ -314,10 +328,10 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
         (drec,) = pair_vjp((da, dt))                     # [REC, S]
         dq = jnp.concatenate(
             [jnp.sum(gq[:, kk:kk + 1] * w, axis=0, keepdims=True)
-             for kk in range(NQ)], axis=0)               # [NQ, S]
+             for kk in range(nq)], axis=0)               # [nq, S]
         contrib = jnp.concatenate(
-            [drec[:Q_ROW0], drec[Q_ROW0:Q_ROW0 + NQ] + dq,
-             drec[Q_ROW0 + NQ:]], axis=0)
+            [drec[:Q_ROW0], drec[Q_ROW0:Q_ROW0 + nq] + dq,
+             drec[Q_ROW0 + nq:]], axis=0)
 
         @pl.when(init_ref[v] > 0)
         def _():
@@ -333,27 +347,36 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
 
 # ------------------------------------------------------------- public core
 
-def pack_geometry_T(sur, n_surfels: int):
-    """SurfelScreen → packed per-surfel records, LANE-major [REC, N+1].
+def pack_geometry_T(sur, n_surfels: int, extra_payload=None):
+    """SurfelScreen → packed per-surfel records, LANE-major [rec, N+1].
 
     Column N is the zero padding record referenced by stream-pad slots
     (valid=0 → never contributes; its scatter-added gradients land in the
     dropped row). Built transposed so the per-duplicate gather runs along
     the lane axis and the kernels stream the result without any relayout.
+
+    ``extra_payload`` [N, E] appends E payload rows after color+normal
+    (nq = 6 + E) — fused multi-pass rendering shares this one gather.
     """
     m_flat = sur.M.reshape(n_surfels, 9)
     validf = sur.valid.astype(jnp.float32)
     cols = [m_flat, sur.center2d, sur.depth[:, None], sur.opacity[:, None],
             validf[:, None], sur.color, sur.normal]
+    nq = NQ
+    if extra_payload is not None:
+        cols.append(extra_payload)
+        nq = NQ + extra_payload.shape[1]
+    rec_rows = rec_for(nq)
     rec = jnp.concatenate(cols, axis=1)
-    pad = REC - rec.shape[1]
+    pad = rec_rows - rec.shape[1]
     rec = jnp.concatenate([rec, jnp.zeros((n_surfels, pad))], axis=1)
-    return jnp.concatenate([rec, jnp.zeros((1, REC))], axis=0).T
+    return jnp.concatenate([rec, jnp.zeros((1, rec_rows))], axis=0).T
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def blend_stream(recT, tile_of, chunk_of, first_f, last_f, init_rev,
-                 lo, hi, num_tiles, tiles_x, settings, interpret=False):
+                 lo, hi, num_tiles, tiles_x, settings, interpret=False,
+                 nq=NQ):
     """Pallas blend over the compact sorted duplicate stream.
 
     recT [REC, cap] f32 (lane-major records); the visit arrays come from
@@ -361,24 +384,26 @@ def blend_stream(recT, tile_of, chunk_of, first_f, last_f, init_rev,
     Tiles with no visits are left uninitialized — the caller masks them.
     """
     return _blend_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
-                           num_tiles, tiles_x, settings, interpret)
+                           num_tiles, tiles_x, settings, interpret, nq)
 
 
 def _blend_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
-                    num_tiles, tiles_x, settings, interpret):
+                    num_tiles, tiles_x, settings, interpret, nq=NQ):
     vcap = tile_of.shape[0]
+    rec, ch = rec_for(nq), ch_for(nq)
     kern = functools.partial(_fwd_kernel, tiles_x=tiles_x,
-                             znear=settings.znear, zfar=settings.zfar)
+                             znear=settings.znear, zfar=settings.zfar,
+                             nq=nq)
     acc, lk = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(vcap,),
-            in_specs=[pl.BlockSpec((REC, S_CHUNK),
+            in_specs=[pl.BlockSpec((rec, S_CHUNK),
                                    lambda v, t, c, f, lo_, hi_: (0, c[v]),
                                    memory_space=pltpu.VMEM)],
             out_specs=[
-                pl.BlockSpec((1, PIX, CH),
+                pl.BlockSpec((1, PIX, ch),
                              lambda v, t, c, f, lo_, hi_: (t[v], 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, PIX, 1),
@@ -390,7 +415,7 @@ def _blend_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, PIX, CH), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, PIX, ch), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, PIX, 1), jnp.int32),
         ],
         interpret=interpret,
@@ -399,20 +424,22 @@ def _blend_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
 
 
 def _blend_fwd(recT, tile_of, chunk_of, first_f, last_f, init_rev, lo, hi,
-               num_tiles, tiles_x, settings, interpret=False):
+               num_tiles, tiles_x, settings, interpret=False, nq=NQ):
     acc, lk = _blend_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
-                              num_tiles, tiles_x, settings, interpret)
+                              num_tiles, tiles_x, settings, interpret, nq)
     return (acc, lk), (recT, tile_of, chunk_of, last_f, init_rev, lo, hi,
                        acc, lk)
 
 
-def _blend_bwd(num_tiles, tiles_x, settings, interpret, res, cts):
+def _blend_bwd(num_tiles, tiles_x, settings, interpret, nq, res, cts):
     (recT, tile_of, chunk_of, last_f, init_rev, lo, hi, acc, lk) = res
     dacc, _ = cts
     vcap = tile_of.shape[0]
     cap = recT.shape[1]
+    rec, ch = rec_for(nq), ch_for(nq)
     kern = functools.partial(_bwd_kernel, num_visits=vcap, tiles_x=tiles_x,
-                             znear=settings.znear, zfar=settings.zfar)
+                             znear=settings.znear, zfar=settings.zfar,
+                             nq=nq)
     rev = lambda g: vcap - 1 - g
     dgrad = pl.pallas_call(
         kern,
@@ -420,10 +447,10 @@ def _blend_bwd(num_tiles, tiles_x, settings, interpret, res, cts):
             num_scalar_prefetch=6,
             grid=(vcap,),
             in_specs=[
-                pl.BlockSpec((REC, S_CHUNK),
+                pl.BlockSpec((rec, S_CHUNK),
                              lambda g, t, c, l, ir, lo_, hi_: (0, c[rev(g)]),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, PIX, CH),
+                pl.BlockSpec((1, PIX, ch),
                              lambda g, t, c, l, ir, lo_, hi_:
                              (t[rev(g)], 0, 0),
                              memory_space=pltpu.VMEM),
@@ -431,13 +458,13 @@ def _blend_bwd(num_tiles, tiles_x, settings, interpret, res, cts):
                              lambda g, t, c, l, ir, lo_, hi_:
                              (t[rev(g)], 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, PIX, CH),
+                pl.BlockSpec((1, PIX, ch),
                              lambda g, t, c, l, ir, lo_, hi_:
                              (t[rev(g)], 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((REC, S_CHUNK),
+                pl.BlockSpec((rec, S_CHUNK),
                              lambda g, t, c, l, ir, lo_, hi_: (0, c[rev(g)]),
                              memory_space=pltpu.VMEM),
             ],
@@ -446,7 +473,7 @@ def _blend_bwd(num_tiles, tiles_x, settings, interpret, res, cts):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((REC, cap), jnp.float32),
+            jax.ShapeDtypeStruct((rec, cap), jnp.float32),
         ],
         interpret=interpret,
     )(tile_of, chunk_of, last_f, init_rev, lo, hi, recT, acc, lk, dacc)[0]

@@ -51,3 +51,6 @@ class RenderOutput:
     overflow: Any = False   # [] bool — duplicate stream truncated (the
     #                         farthest surfels were dropped); surface this
     #                         in training metrics to size duplicate_capacity
+    extra: Any = None   # [H, W, E] extra payload channels blended with the
+    #                     same weights as color (fused multi-pass rendering,
+    #                     e.g. semantic class probabilities)

@@ -86,3 +86,36 @@ def test_gradient_parity(scene):
         np.testing.assert_allclose(gk, gr, atol=2e-4 * scale, rtol=1e-3,
                                    err_msg=f"grad mismatch for {name}")
         assert np.abs(gr).max() > 0, f"zero reference grad for {name}"
+
+
+def test_extra_payload_parity(scene):
+    """Fused extra-payload channels must blend exactly like a separate
+    render whose colors are those channels (the reference's semantic
+    passes, gaussian_renderer/__init__.py:347-369, as one kernel pass)."""
+    args, w2c, K, st = scene
+    rng = np.random.default_rng(7)
+    n = args[0].shape[0]
+    extra = jnp.asarray(rng.uniform(0, 1, (n, 6)).astype(np.float32))
+
+    out = rasterize(*args, w2c, K, st, extra_payload=extra, interpret=True)
+    assert out.extra.shape == (st.height, st.width, 6)
+    for k in range(2):
+        ref = rasterize(args[0], args[1], args[2], args[3],
+                        extra[:, 3 * k:3 * k + 3], w2c, K, st,
+                        interpret=True)
+        np.testing.assert_allclose(out.extra[..., 3 * k:3 * k + 3],
+                                   ref.color, atol=5e-5)
+    # base channels unchanged by the fusion
+    base = rasterize(*args, w2c, K, st, interpret=True)
+    np.testing.assert_allclose(out.color, base.color, atol=5e-5)
+    np.testing.assert_allclose(out.alpha, base.alpha, atol=2e-5)
+    np.testing.assert_allclose(out.distortion, base.distortion, atol=5e-5)
+
+    # gradients flow to the extra payload
+    def loss(e):
+        o = rasterize(*args, w2c, K, st, extra_payload=e, interpret=True)
+        return jnp.sum(o.extra ** 2) + jnp.sum(o.color ** 2)
+
+    g = jax.grad(loss)(extra)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.linalg.norm(np.asarray(g)) > 0
