@@ -44,6 +44,7 @@ class RenderResult:
     expected_depth: Any  # [H, W] unnormalized (allmap ch0)
     median_depth: Any    # [H, W]
     overflow: Any = False   # [] bool — duplicate stream truncated
+    extra: Any = None    # [H, W, E] fused extra payload channels
 
     @property
     def visibility_filter(self):
@@ -84,13 +85,17 @@ def render(camera: Camera, state: SurfelState, bg,
            depth_ratio: float = 0.0, opacity_mask=None,
            colors_override=None, center2d_offset=None,
            interpret: bool | None = None, use_oracle: bool = False,
-           duplicate_capacity: int | None = None) -> RenderResult:
+           duplicate_capacity: int | None = None,
+           extra_payload=None) -> RenderResult:
     """Differentiable render of a SurfelState through the Pallas kernels.
 
     opacity_mask [C] bool: surfels where False render with opacity 0 —
     subsumes the reference's ``render_with_mask`` (its ``valid_mask``/
     ``invert`` bitmask filtering, ``gaussian_renderer/__init__.py:87-94``).
     colors_override [C,3]: skip SH decode (the semantic passes).
+    extra_payload [C,E]: extra channels blended in the same kernel pass
+    (→ ``result.extra``) — the fused replacement for separate semantic
+    rasterizations.
     """
     opac = state.get_opacity()[:, 0]
     if opacity_mask is not None:
@@ -101,7 +106,8 @@ def render(camera: Camera, state: SurfelState, bg,
     settings = _settings_for(camera, scale_modifier)
     raster = rasterize_oracle if use_oracle else rasterize
     kwargs = {} if use_oracle else dict(
-        interpret=interpret, duplicate_capacity=duplicate_capacity)
+        interpret=interpret, duplicate_capacity=duplicate_capacity,
+        extra_payload=extra_payload)
     out = raster(state.params.xyz, state.get_scaling(), state.get_rotation(),
                  opac, colors, camera.w2c, camera.K, settings,
                  bg=jnp.asarray(bg), center2d_offset=center2d_offset,
@@ -126,6 +132,7 @@ def render(camera: Camera, state: SurfelState, bg,
         expected_depth=out.expected_depth,
         median_depth=out.median_depth,
         overflow=getattr(out, "overflow", False),
+        extra=getattr(out, "extra", None),
     )
 
 
@@ -150,17 +157,14 @@ def render_semantic(camera: Camera, state: SurfelState,
     sky). Returns [H, W, num_classes] composited probabilities.
     """
     onehot = jax.nn.one_hot(state.semantics, num_classes, dtype=jnp.float32)
-    chunks = []
-    for c0 in range(0, num_classes, 3):
-        width = min(3, num_classes - c0)
-        colors = jnp.zeros((state.capacity, 3))
-        colors = colors.at[:, :width].set(onehot[:, c0:c0 + width])
-        bg = jnp.zeros(3)
-        if c0 <= sky_index < c0 + width:
-            bg = bg.at[sky_index - c0].set(1.0)
-        res = render(camera, state, bg, scale_modifier=scale_modifier,
-                     opacity_mask=opacity_mask, colors_override=colors,
-                     center2d_offset=center2d_offset, interpret=interpret,
-                     duplicate_capacity=duplicate_capacity)
-        chunks.append(res.render[..., :width])
-    return jnp.concatenate(chunks, axis=-1)
+    res = render(camera, state, jnp.zeros(3), scale_modifier=scale_modifier,
+                 opacity_mask=opacity_mask,
+                 colors_override=onehot[:, 0:3],
+                 extra_payload=onehot[:, 3:num_classes],
+                 center2d_offset=center2d_offset, interpret=interpret,
+                 duplicate_capacity=duplicate_capacity)
+    probs = jnp.concatenate([res.render, res.extra], axis=-1)
+    # sky prior: empty pixels read as sky (the reference passes it as the
+    # per-pass rasterizer background, gaussian_renderer/__init__.py:347-358)
+    sky_prior = jax.nn.one_hot(sky_index, num_classes, dtype=jnp.float32)
+    return probs + sky_prior * (1.0 - res.rend_alpha)[..., None]

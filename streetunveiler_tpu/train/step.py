@@ -75,9 +75,17 @@ def stage1_loss(state: SurfelState, camera: Camera, gt_image, bg,
     a single summed backward produces the identical gradients.
     """
     active_sh = jnp.minimum(iteration // 1000, state.sh_degree)
+    # semantic probabilities ride the SAME rasterization as extra payload
+    # channels (the reference spends 2 whole extra passes on them,
+    # gaussian_renderer/__init__.py:347-369; here they cost 6 extra
+    # payload sums in the one blend kernel)
+    want_sem = gt_semantic is not None and opt.enable_semantic_loss
+    extra = (jax.nn.one_hot(state.semantics, 6, dtype=jnp.float32)
+             if want_sem else None)
     res = render(camera, state, bg, active_sh_degree=active_sh,
                  center2d_offset=center2d_offset, interpret=interpret,
-                 duplicate_capacity=duplicate_capacity)
+                 duplicate_capacity=duplicate_capacity,
+                 extra_payload=extra)
 
     image = res.render
     if sky_params is not None:
@@ -107,10 +115,11 @@ def stage1_loss(state: SurfelState, camera: Camera, gt_image, bg,
     loss = loss + lambda_shrink * mean_op
 
     sem_loss = jnp.float32(0.0)
-    if gt_semantic is not None and opt.enable_semantic_loss:
-        from ..renderer import render_semantic, semantic_class_mask
-        probs = render_semantic(camera, state, interpret=interpret,
-                                duplicate_capacity=duplicate_capacity)
+    if want_sem:
+        from ..renderer import semantic_class_mask
+        from ..utils.semantics import CONCERNED_IND as _CI
+        sky_prior = jax.nn.one_hot(_CI["sky"], 6, dtype=jnp.float32)
+        probs = res.extra + sky_prior * (1.0 - res.rend_alpha)[..., None]
         sem_loss = semantic_ce_loss(probs, gt_semantic)
         loss = loss + opt.semantic_loss_ratio * sem_loss
 
