@@ -19,8 +19,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .kernel import (CH, NQ, PIX, S_CHUNK, TILE_H, TILE_W, blend_stream,
-                     ch_for, pack_geometry_T)
+from .kernel import (CH, NQ, PIX, Q_ROW0, S_CHUNK, TILE_H, TILE_W,
+                     blend_dist_stream, blend_stream, ch_for,
+                     pack_geometry_T)
 from .preprocess import preprocess_surfels
 from .tiles import bin_surfels_stream
 from .types import RasterizeSettings, RenderOutput
@@ -39,7 +40,7 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
               duplicate_capacity: int | None = None,
               center2d_offset=None,
               interpret: bool | None = None,
-              extra_payload=None) -> RenderOutput:
+              extra_payload=None, class_gates=None) -> RenderOutput:
     """Differentiable tiled 2DGS render (Pallas TPU kernels).
 
     Same semantics as ``rasterize_oracle`` (tested to match); activated
@@ -49,7 +50,12 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
     the same compositing weights in the SAME kernel pass (returned as
     ``out.extra`` [H, W, E]) — how the fused train step renders semantic
     class probabilities without extra rasterizations (the reference runs
-    2 whole extra passes, gaussian_renderer/__init__.py:347-369)."""
+    2 whole extra passes, gaussian_renderer/__init__.py:347-369).
+
+    ``class_gates`` [N, G] bool runs the fused multi-gate distortion
+    kernel over the same binning/records: ``out.class_dist`` [H, W, G]
+    holds each class's gated depth-distortion map — the reference's 5
+    per-class rasterizations (train.py:94-105) as one extra blend."""
     if interpret is None:
         # Mosaic only compiles for TPU; tests/virtual-device meshes run on
         # the CPU backend through the Pallas interpreter.
@@ -70,6 +76,16 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
 
     nq = NQ + (0 if extra_payload is None else extra_payload.shape[1])
     ch = ch_for(nq)
+    pack_extra = extra_payload
+    if class_gates is not None:
+        # per-surfel class bitmask as ONE exact-float record row past the
+        # main payload — shares the record pack and the duplicate gather
+        n_gates = class_gates.shape[1]
+        powers = jnp.asarray(2.0 ** jnp.arange(n_gates), jnp.float32)
+        grow = jnp.sum(class_gates.astype(jnp.float32) * powers, axis=1,
+                       keepdims=True)
+        pack_extra = (grow if pack_extra is None
+                      else jnp.concatenate([pack_extra, grow], axis=1))
 
     sg = jax.lax.stop_gradient
     binning = bin_surfels_stream(sg(sur.center2d), sg(sur.ext),
@@ -79,7 +95,7 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
 
     # lane-axis gather of the packed records — the step's one unavoidable
     # per-duplicate gather; builds the kernels' [rec, cap] layout directly
-    recT = jnp.take(pack_geometry_T(sur, n, extra_payload),
+    recT = jnp.take(pack_geometry_T(sur, n, pack_extra),
                     binning.sorted_surfel, axis=1)
 
     num_tiles = binning.tiles_x * binning.tiles_y
@@ -93,6 +109,24 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
     # tiles with no duplicates have no visits → mask their garbage blocks
     counts = binning.tile_offsets[1:] - binning.tile_offsets[:-1]
     acc = jnp.where((counts > 0)[:, None, None], acc, 0.0)
+
+    class_dist = None
+    if class_gates is not None:
+        accd = blend_dist_stream(
+            recT, binning.tile_of_visit, binning.chunk_of_visit,
+            binning.first_of_tile, binning.last_of_tile, binning.init_rev,
+            binning.lane_lo, binning.lane_hi, num_tiles, binning.tiles_x,
+            settings, interpret, Q_ROW0 + nq, n_gates)
+        accd = jnp.where((counts > 0)[:, None, None], accd, 0.0)
+        imgd = accd.reshape(binning.tiles_y, binning.tiles_x, TILE_H,
+                            TILE_W, 4 * n_gates)
+        imgd = imgd.transpose(4, 0, 2, 1, 3).reshape(
+            4 * n_gates, binning.tiles_y * TILE_H,
+            binning.tiles_x * TILE_W)[:, :settings.height, :settings.width]
+        al = imgd[0::4]
+        m1d = imgd[1::4]
+        m2d = imgd[2::4]
+        class_dist = jnp.moveaxis(al * m2d - m1d * m1d, 0, -1)
 
     # [T, PIX, ch] → [ch, H, W]
     h, w_img = settings.height, settings.width
@@ -124,4 +158,5 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
         overflow=binning.overflow,
         extra=(None if extra_payload is None
                else jnp.moveaxis(img[6:nq], 0, -1)),
+        class_dist=class_dist,
     )

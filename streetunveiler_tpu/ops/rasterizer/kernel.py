@@ -390,7 +390,7 @@ def blend_stream(recT, tile_of, chunk_of, first_f, last_f, init_rev,
 def _blend_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
                     num_tiles, tiles_x, settings, interpret, nq=NQ):
     vcap = tile_of.shape[0]
-    rec, ch = rec_for(nq), ch_for(nq)
+    rec, ch = recT.shape[0], ch_for(nq)
     kern = functools.partial(_fwd_kernel, tiles_x=tiles_x,
                              znear=settings.znear, zfar=settings.zfar,
                              nq=nq)
@@ -436,7 +436,7 @@ def _blend_bwd(num_tiles, tiles_x, settings, interpret, nq, res, cts):
     dacc, _ = cts
     vcap = tile_of.shape[0]
     cap = recT.shape[1]
-    rec, ch = rec_for(nq), ch_for(nq)
+    rec, ch = recT.shape[0], ch_for(nq)
     kern = functools.partial(_bwd_kernel, num_visits=vcap, tiles_x=tiles_x,
                              znear=settings.znear, zfar=settings.zfar,
                              nq=nq)
@@ -482,3 +482,302 @@ def _blend_bwd(num_tiles, tiles_x, settings, interpret, nq, res, cts):
 
 
 blend_stream.defvjp(_blend_fwd, _blend_bwd)
+
+
+# ------------------------------------------- multi-gate distortion blend
+#
+# The reference's late training phase renders each semantic class's
+# surfels SEPARATELY just to read the per-class depth-distortion term
+# (train.py:94-105 — 5 full rasterizations per step). Gated renders share
+# everything except the transmittance chain: same visit stream, same pair
+# math, same depth mapping. This kernel runs G gated alpha/m1/m2
+# accumulations in ONE pass: per visit it computes the pair function once
+# and unrolls G per-class prefix/suffix blocks, each guarded by a
+# "class has gated lanes in this visit" scalar skip (class surfels are
+# spatially clustered, so most visits run 1-2 of the G blocks).
+#
+# Gates arrive as ONE record row (GATE row) holding the per-surfel class
+# bitmask as an exact small float (bit g = class g membership). The row
+# index is a static arg so the same packed record (and the same gather!)
+# serves the main blend and this kernel; their recT cotangents add and
+# flow through one shared scatter.
+#
+# Outputs: accd [T, PIX, 4*G] — per class (alpha, m1, m2, lk) — lk is the
+# last-contributor duplicate index as f32 (exact < 2^24), the backward's
+# keep-set marker, carried in the accumulator block so the kernel has a
+# single output stream.
+
+def _gate_bits(grow, n_gates):
+    """Decode G gate rows [1,S] (0/1 floats) from the packed bitmask row."""
+    bits = []
+    r = grow
+    for _ in range(n_gates):
+        half = jnp.floor(r * 0.5)
+        bits.append(r - 2.0 * half)
+        r = half
+    return bits
+
+
+def _dist_fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
+                     rec_ref, acc_ref, state_ref, *, tiles_x, znear, zfar,
+                     gate_row, n_gates):
+    s = S_CHUNK
+    v = pl.program_id(0)
+    px, py = _tile_pixel_coords(tile_of_ref[v], tiles_x)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    G = n_gates
+
+    @pl.when(first_ref[v] > 0)
+    def _():
+        acc_ref[0] = jnp.zeros_like(acc_ref[0])
+        # lk channels start at -1
+        for g in range(G):
+            acc_ref[0, :, 4 * g + 3:4 * g + 4] = jnp.full(
+                (PIX, 1), -1.0, jnp.float32)
+        state_ref[:, 0:G] = jnp.ones((PIX, G), jnp.float32)   # T_g
+        state_ref[:, G:2 * G] = jnp.zeros((PIX, G), jnp.float32)  # done_g
+
+    @pl.when(first_ref[v] >= 0)
+    def _():
+        chunk = rec_ref[:, :]
+        a0, tdep = _pair_fn(chunk, px, py, znear)
+        inr = (iota_s >= lo_ref[v]) & (iota_s < hi_ref[v])
+        a0 = jnp.where(inr, a0, 0.0)
+        m = map_depth(tdep, znear, zfar)
+        gates = _gate_bits(chunk[gate_row:gate_row + 1, :], G)
+        iota_f = iota_s.astype(jnp.float32)
+        gidxf = (chunk_of_ref[v] * s).astype(jnp.float32) + iota_f
+
+        for g in range(G):
+            has = jnp.max(jnp.where(inr, gates[g], 0.0)) > 0.5
+
+            @pl.when(has)
+            def _(g=g):
+                t_carry = state_ref[:, g:g + 1]
+                done = state_ref[:, G + g:G + g + 1] > 0.5
+                a = a0 * gates[g]
+                logom = jnp.log1p(-a)
+                t_excl = t_carry * jnp.exp(
+                    _mm_precise(logom, _prefix_mat(s, "excl")))
+                t_after = t_excl * (1.0 - a)
+                keep = ((a > 0.0) & (t_after >= T_EPS)
+                        & jnp.logical_not(done))
+                trig = jnp.max(jnp.where((a > 0.0) & (t_after < T_EPS),
+                                         1.0, 0.0), axis=1,
+                               keepdims=True) > 0.5
+                w = jnp.where(keep, a * t_excl, 0.0)
+                wm = w * m
+                c0 = 4 * g
+                acc_ref[0, :, c0:c0 + 1] = (
+                    acc_ref[0, :, c0:c0 + 1]
+                    + jnp.sum(w, axis=1, keepdims=True))
+                acc_ref[0, :, c0 + 1:c0 + 2] = (
+                    acc_ref[0, :, c0 + 1:c0 + 2]
+                    + jnp.sum(wm, axis=1, keepdims=True))
+                acc_ref[0, :, c0 + 2:c0 + 3] = (
+                    acc_ref[0, :, c0 + 2:c0 + 3]
+                    + jnp.sum(wm * m, axis=1, keepdims=True))
+                lkf = jnp.max(jnp.where(keep, gidxf, -1.0), axis=1,
+                              keepdims=True)
+                acc_ref[0, :, c0 + 3:c0 + 4] = jnp.maximum(
+                    acc_ref[0, :, c0 + 3:c0 + 4], lkf)
+                kept_logom = jnp.where(keep, logom, 0.0)
+                state_ref[:, g:g + 1] = t_carry * jnp.exp(
+                    jnp.sum(kept_logom, axis=1, keepdims=True))
+                state_ref[:, G + g:G + g + 1] = jnp.where(
+                    jnp.logical_or(done, trig), 1.0, 0.0)
+
+
+def _dist_bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref,
+                     lo_ref, hi_ref, rec_ref, acc_ref, dacc_ref,
+                     dgrad_ref, state_ref, da_ref, dt_ref, *, num_visits,
+                     tiles_x, znear, zfar, gate_row, n_gates):
+    s = S_CHUNK
+    v = num_visits - 1 - pl.program_id(0)
+    px, py = _tile_pixel_coords(tile_of_ref[v], tiles_x)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    G = n_gates
+
+    @pl.when(last_ref[v] > 0)
+    def _():
+        for g in range(G):
+            state_ref[:, g:g + 1] = 1.0 - acc_ref[0, :, 4 * g:4 * g + 1]
+        state_ref[:, G:2 * G] = jnp.zeros((PIX, G), jnp.float32)
+
+    lk_all = jnp.concatenate([acc_ref[0, :, 4 * g + 3:4 * g + 4]
+                              for g in range(G)], axis=1)
+    dead = jnp.max(lk_all) < (chunk_of_ref[v] * s).astype(jnp.float32)
+
+    @pl.when(jnp.logical_and(last_ref[v] >= 0, dead))
+    def _():
+        @pl.when(init_ref[v] > 0)
+        def _():
+            dgrad_ref[:, :] = jnp.zeros_like(dgrad_ref)
+
+    @pl.when(jnp.logical_and(last_ref[v] >= 0, jnp.logical_not(dead)))
+    def _():
+        chunk = rec_ref[:, :]
+        pair = functools.partial(_pair_fn, px=px, py=py, znear=znear)
+        (a0, tdep), pair_vjp = jax.vjp(pair, chunk)
+        inr = (iota_s >= lo_ref[v]) & (iota_s < hi_ref[v])
+        a0 = jnp.where(inr, a0, 0.0)
+        m = map_depth(tdep, znear, zfar)
+        dmdt = (zfar * znear / (zfar - znear)) / jnp.maximum(
+            tdep * tdep, 1e-12)
+        gates = _gate_bits(chunk[gate_row:gate_row + 1, :], G)
+        gidxf = ((chunk_of_ref[v] * s).astype(jnp.float32)
+                 + iota_s.astype(jnp.float32))
+
+        da_ref[:, :] = jnp.zeros((PIX, s), jnp.float32)
+        dt_ref[:, :] = jnp.zeros((PIX, s), jnp.float32)
+
+        for g in range(G):
+            lk = acc_ref[0, :, 4 * g + 3:4 * g + 4]
+            has = jnp.logical_and(
+                jnp.max(jnp.where(inr, gates[g], 0.0)) > 0.5,
+                jnp.max(lk) >= (chunk_of_ref[v] * s).astype(jnp.float32))
+
+            @pl.when(has)
+            def _(g=g, lk=lk):
+                galpha = dacc_ref[0, :, 4 * g:4 * g + 1]
+                gm1 = dacc_ref[0, :, 4 * g + 1:4 * g + 2]
+                gm2 = dacc_ref[0, :, 4 * g + 2:4 * g + 3]
+                u_in = state_ref[:, g:g + 1]
+                ssuf = state_ref[:, G + g:G + g + 1]
+                a = a0 * gates[g]
+                keep = (a > 0.0) & (gidxf <= lk)
+                klogom = jnp.where(keep, jnp.log1p(-a), 0.0)
+                t_excl = u_in * jnp.exp(-_mm_precise(
+                    klogom, _prefix_mat(s, "sincl")))
+                u_out = u_in * jnp.exp(-jnp.sum(klogom, axis=1,
+                                                keepdims=True))
+                w = jnp.where(keep, a * t_excl, 0.0)
+                omega = galpha + gm1 * m + gm2 * m * m
+                womega = w * omega
+                ssuf_pair = ssuf + _mm(womega, _prefix_mat(s, "sexcl"))
+                da = jnp.where(keep,
+                               t_excl * omega - ssuf_pair / (1.0 - a),
+                               0.0)
+                dt = w * (gm1 + 2.0 * m * gm2) * dmdt
+                # ∂a/∂a0 = gate (0/1) and da==0 off-class; dt likewise
+                da_ref[:, :] = da_ref[:, :] + jnp.where(inr, da, 0.0)
+                dt_ref[:, :] = dt_ref[:, :] + jnp.where(inr, dt, 0.0)
+                state_ref[:, g:g + 1] = u_out
+                state_ref[:, G + g:G + g + 1] = ssuf + jnp.sum(
+                    womega, axis=1, keepdims=True)
+
+        (drec,) = pair_vjp((da_ref[:, :], dt_ref[:, :]))
+
+        @pl.when(init_ref[v] > 0)
+        def _():
+            dgrad_ref[:, :] = drec
+
+        @pl.when(init_ref[v] == 0)
+        def _():
+            dgrad_ref[:, :] = dgrad_ref[:, :] + drec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def blend_dist_stream(recT, tile_of, chunk_of, first_f, last_f, init_rev,
+                      lo, hi, num_tiles, tiles_x, settings, interpret,
+                      gate_row, n_gates):
+    """Fused G-class gated distortion blend over the shared visit stream.
+
+    Returns accd [T, PIX, 4*G]: per class (alpha, m1, m2, lk_f32). The
+    caller computes distortion_g = alpha_g*m2_g - m1_g^2 per class.
+    """
+    return _dist_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
+                          num_tiles, tiles_x, settings, interpret,
+                          gate_row, n_gates)
+
+
+def _dist_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi, num_tiles,
+                   tiles_x, settings, interpret, gate_row, n_gates):
+    vcap = tile_of.shape[0]
+    rec = recT.shape[0]
+    chd = 4 * n_gates
+    kern = functools.partial(_dist_fwd_kernel, tiles_x=tiles_x,
+                             znear=settings.znear, zfar=settings.zfar,
+                             gate_row=gate_row, n_gates=n_gates)
+    accd = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(vcap,),
+            in_specs=[pl.BlockSpec((rec, S_CHUNK),
+                                   lambda v, t, c, f, lo_, hi_: (0, c[v]),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((1, PIX, chd),
+                             lambda v, t, c, f, lo_, hi_: (t[v], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((PIX, 2 * n_gates), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, PIX, chd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_of, chunk_of, first_f, lo, hi, recT)[0]
+    return accd
+
+
+def _dist_fwd(recT, tile_of, chunk_of, first_f, last_f, init_rev, lo, hi,
+              num_tiles, tiles_x, settings, interpret, gate_row, n_gates):
+    accd = _dist_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
+                          num_tiles, tiles_x, settings, interpret,
+                          gate_row, n_gates)
+    return accd, (recT, tile_of, chunk_of, last_f, init_rev, lo, hi, accd)
+
+
+def _dist_bwd(num_tiles, tiles_x, settings, interpret, gate_row, n_gates,
+              res, daccd):
+    (recT, tile_of, chunk_of, last_f, init_rev, lo, hi, accd) = res
+    vcap = tile_of.shape[0]
+    rec, cap = recT.shape
+    kern = functools.partial(_dist_bwd_kernel, num_visits=vcap,
+                             tiles_x=tiles_x, znear=settings.znear,
+                             zfar=settings.zfar, gate_row=gate_row,
+                             n_gates=n_gates)
+    rev = lambda g: vcap - 1 - g
+    chd = 4 * n_gates
+    dgrad = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(vcap,),
+            in_specs=[
+                pl.BlockSpec((rec, S_CHUNK),
+                             lambda g, t, c, l, ir, lo_, hi_:
+                             (0, c[rev(g)]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, PIX, chd),
+                             lambda g, t, c, l, ir, lo_, hi_:
+                             (t[rev(g)], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, PIX, chd),
+                             lambda g, t, c, l, ir, lo_, hi_:
+                             (t[rev(g)], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((rec, S_CHUNK),
+                             lambda g, t, c, l, ir, lo_, hi_:
+                             (0, c[rev(g)]),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((PIX, 2 * n_gates), jnp.float32),
+                pltpu.VMEM((PIX, S_CHUNK), jnp.float32),
+                pltpu.VMEM((PIX, S_CHUNK), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((rec, cap), jnp.float32)],
+        interpret=interpret,
+    )(tile_of, chunk_of, last_f, init_rev, lo, hi, recT, accd, daccd)[0]
+    return (dgrad,) + (None,) * 7
+
+
+blend_dist_stream.defvjp(_dist_fwd, _dist_bwd)

@@ -54,3 +54,5 @@ class RenderOutput:
     extra: Any = None   # [H, W, E] extra payload channels blended with the
     #                     same weights as color (fused multi-pass rendering,
     #                     e.g. semantic class probabilities)
+    class_dist: Any = None  # [H, W, G] per-class gated depth-distortion
+    #                         maps from the fused multi-gate kernel

@@ -45,6 +45,7 @@ class RenderResult:
     median_depth: Any    # [H, W]
     overflow: Any = False   # [] bool — duplicate stream truncated
     extra: Any = None    # [H, W, E] fused extra payload channels
+    class_dist: Any = None  # [H, W, G] fused per-class distortion maps
 
     @property
     def visibility_filter(self):
@@ -86,7 +87,7 @@ def render(camera: Camera, state: SurfelState, bg,
            colors_override=None, center2d_offset=None,
            interpret: bool | None = None, use_oracle: bool = False,
            duplicate_capacity: int | None = None,
-           extra_payload=None) -> RenderResult:
+           extra_payload=None, class_gates=None) -> RenderResult:
     """Differentiable render of a SurfelState through the Pallas kernels.
 
     opacity_mask [C] bool: surfels where False render with opacity 0 —
@@ -107,7 +108,7 @@ def render(camera: Camera, state: SurfelState, bg,
     raster = rasterize_oracle if use_oracle else rasterize
     kwargs = {} if use_oracle else dict(
         interpret=interpret, duplicate_capacity=duplicate_capacity,
-        extra_payload=extra_payload)
+        extra_payload=extra_payload, class_gates=class_gates)
     out = raster(state.params.xyz, state.get_scaling(), state.get_rotation(),
                  opac, colors, camera.w2c, camera.K, settings,
                  bg=jnp.asarray(bg), center2d_offset=center2d_offset,
@@ -133,6 +134,7 @@ def render(camera: Camera, state: SurfelState, bg,
         median_depth=out.median_depth,
         overflow=getattr(out, "overflow", False),
         extra=getattr(out, "extra", None),
+        class_dist=getattr(out, "class_dist", None),
     )
 
 

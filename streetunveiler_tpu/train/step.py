@@ -82,10 +82,21 @@ def stage1_loss(state: SurfelState, camera: Camera, gt_image, bg,
     want_sem = gt_semantic is not None and opt.enable_semantic_loss
     extra = (jax.nn.one_hot(state.semantics, 6, dtype=jnp.float32)
              if want_sem else None)
+    # per-class distortion rides the same binning through the fused
+    # multi-gate kernel (one extra blend instead of the reference's 5
+    # whole rasterizations, train.py:94-105)
+    gates = None
+    if want_sem and class_dist:
+        from ..renderer import semantic_class_mask
+        from ..utils.semantics import CONCERNED_IND as _CI0
+        gates = jnp.stack(
+            [semantic_class_mask(state, 1 << ci, reverse=True)
+             for ci in range(len(SEMANTIC_CLASS_WEIGHTS))
+             if ci != _CI0["sky"]], axis=1)
     res = render(camera, state, bg, active_sh_degree=active_sh,
                  center2d_offset=center2d_offset, interpret=interpret,
                  duplicate_capacity=duplicate_capacity,
-                 extra_payload=extra)
+                 extra_payload=extra, class_gates=gates)
 
     image = res.render
     if sky_params is not None:
@@ -123,21 +134,13 @@ def stage1_loss(state: SurfelState, camera: Camera, gt_image, bg,
         sem_loss = semantic_ce_loss(probs, gt_semantic)
         loss = loss + opt.semantic_loss_ratio * sem_loss
 
-        # per-class distortion on class-only renders, sky excluded
-        # (train.py:94-105): 5 extra rasterizations. ``class_dist`` is a
-        # *static* gate the training loop flips at semantic_dist_from_iter
-        # so the extra renders only exist in the late-phase executable.
+        # per-class distortion, sky excluded (train.py:94-105).
+        # ``class_dist`` is a *static* gate the training loop flips at
+        # semantic_dist_from_iter so the extra blend only exists in the
+        # late-phase executable.
         if class_dist:
-            from ..utils.semantics import CONCERNED_IND
-            sky_idx = CONCERNED_IND["sky"]
-            for ci in range(len(SEMANTIC_CLASS_WEIGHTS)):
-                if ci == sky_idx:
-                    continue
-                cmask = semantic_class_mask(state, 1 << ci, reverse=True)
-                cres = render(camera, state, bg, active_sh_degree=active_sh,
-                              opacity_mask=cmask, interpret=interpret,
-                              duplicate_capacity=duplicate_capacity)
-                loss = loss + opt.lambda_dist * jnp.mean(cres.rend_dist)
+            loss = loss + opt.lambda_dist * jnp.sum(
+                jnp.mean(res.class_dist, axis=(0, 1)))
 
     aux = dict(image=image, l1=ll1, ssim=lssim, radii=res.radii,
                psnr=psnr(jnp.clip(image, 0, 1), gt_image),

@@ -119,3 +119,47 @@ def test_extra_payload_parity(scene):
     g = jax.grad(loss)(extra)
     assert np.isfinite(np.asarray(g)).all()
     assert np.linalg.norm(np.asarray(g)) > 0
+
+
+def test_class_dist_parity(scene):
+    """The fused multi-gate distortion kernel must reproduce each class's
+    separately-gated render (the reference's per-class rasterizations,
+    train.py:94-105), forward and backward."""
+    args, w2c, K, st = scene
+    n = args[0].shape[0]
+    rng = np.random.default_rng(11)
+    classes = rng.integers(0, 3, n)
+    gates = jnp.asarray(np.stack([classes == g for g in range(3)], axis=1))
+
+    out = rasterize(*args, w2c, K, st, class_gates=gates, interpret=True)
+    assert out.class_dist.shape == (st.height, st.width, 3)
+    for g in range(3):
+        opac_g = jnp.where(gates[:, g], args[3], 0.0)
+        ref = rasterize(args[0], args[1], args[2], opac_g, args[4],
+                        w2c, K, st, interpret=True)
+        np.testing.assert_allclose(out.class_dist[..., g], ref.distortion,
+                                   atol=5e-5)
+    # main channels unaffected
+    base = rasterize(*args, w2c, K, st, interpret=True)
+    np.testing.assert_allclose(out.color, base.color, atol=5e-5)
+
+    # backward parity: grads of the summed class-dist loss vs the sum of
+    # separately-gated distortion losses
+    def loss_fused(p, sc, op):
+        o = rasterize(p, sc, args[2], op, args[4], w2c, K, st,
+                      class_gates=gates, interpret=True)
+        return jnp.sum(o.class_dist)
+
+    def loss_sep(p, sc, op):
+        tot = 0.0
+        for g in range(3):
+            o = rasterize(p, sc, args[2], jnp.where(gates[:, g], op, 0.0),
+                          args[4], w2c, K, st, interpret=True)
+            tot = tot + jnp.sum(o.distortion)
+        return tot
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(args[0], args[1], args[3])
+    gs = jax.grad(loss_sep, argnums=(0, 1, 2))(args[0], args[1], args[3])
+    for a, b in zip(gf, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
