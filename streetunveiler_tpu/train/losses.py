@@ -43,13 +43,24 @@ def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
     (padding=window_size//2).
     """
     w = jnp.asarray(_gaussian_window(window_size, sigma), img1.dtype)
+    c = img1.shape[-1]
+    kh = jnp.tile(w[:, None, None, None], (1, 1, 1, c))
+    kw = jnp.tile(w[None, :, None, None], (1, 1, 1, c))
+    dn = ("NHWC", "HWIO", "NHWC")
 
     def blur(x):
-        # separable depthwise conv via two 1-D convolutions
-        x = jnp.moveaxis(x, -1, 0)                      # [C, H, W]
-        x = jax.vmap(lambda ch: jax.scipy.signal.convolve2d(
-            ch, w[:, None] * w[None, :], mode="same"))(x)
-        return jnp.moveaxis(x, 0, -1)
+        # separable depthwise Gaussian as two lax convs (zero 'SAME'
+        # padding — exactly the reference's F.conv2d(padding=win//2,
+        # groups=C); jax.scipy.signal.convolve2d here measured 3.5s/step
+        # on TPU vs ~ms for the depthwise conv)
+        x = x[None]                                      # [1, H, W, C]
+        x = jax.lax.conv_general_dilated(
+            x, kh, (1, 1), "SAME", dimension_numbers=dn,
+            feature_group_count=c)
+        x = jax.lax.conv_general_dilated(
+            x, kw, (1, 1), "SAME", dimension_numbers=dn,
+            feature_group_count=c)
+        return x[0]
 
     mu1, mu2 = blur(img1), blur(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
