@@ -39,7 +39,18 @@ def build_scene(n, seed=0):
     quats = rng.normal(size=(n, 4)).astype(np.float32)
     opac = rng.uniform(0.3, 0.95, n).astype(np.float32)
     cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
-    return pts, scales, quats, opac, cols
+    # geometry-consistent semantics (concerned-class ids, utils/semantics):
+    # ground = road with sidewalk strips near the walls; walls = building;
+    # clutter = vehicle / vegetation in coherent 4m x-bands. Street scenes
+    # have spatially clustered classes — random labels would put every
+    # class in every tile, defeating (and mis-benchmarking) the per-class
+    # gate skip in the fused distortion kernel.
+    sem = np.empty(n, np.int32)
+    sem[:n_g] = np.where(np.abs(ground[:, 0]) > 9.0, 1, 0)
+    sem[n_g:n_g + n_w] = 2
+    sem[n_g + n_w:] = np.where((clutter[:, 0] // 4).astype(int) % 2 == 0,
+                               5, 3)
+    return pts, scales, quats, opac, cols, sem
 
 
 def semantic_main():
@@ -58,9 +69,8 @@ def semantic_main():
     W, H, f = 1920, 1280, 1000.0
     iters = 3
 
-    pts, scales, quats, opac, cols = build_scene(n)
+    pts, scales, quats, opac, cols, sem = build_scene(n)
     rng = np.random.default_rng(1)
-    sem = rng.integers(0, 6, n)
     state = create_from_pcd(pts, cols, sem, spatial_scale=30.0,
                             capacity=n, sh_degree=3)
     cam = Camera(w2c=jnp.eye(4),
@@ -117,7 +127,7 @@ def main():
     W, H, f = 1920, 1280, 1000.0
     iters = 10
 
-    pts, scales, quats, opac, cols = build_scene(n)
+    pts, scales, quats, opac, cols, sem = build_scene(n)
     args = tuple(map(jnp.asarray, (pts, scales, quats, opac, cols)))
     K = jnp.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], jnp.float32)
     w2c = jnp.eye(4)

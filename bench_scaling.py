@@ -42,7 +42,7 @@ def main():
     W, H, f = 256, 256, 180.0
     iters = 3
 
-    pts, _, _, _, cols = build_scene(n)
+    pts, _, _, _, cols, _ = build_scene(n)
     sem = np.zeros(n, np.int64)
     state = create_from_pcd(pts, cols, sem, spatial_scale=20.0,
                             capacity=-(-n // 8) * 8, sh_degree=3)

@@ -303,7 +303,7 @@ def main():
                                 "full_kogge"]
     n = 300_000
     W, H, f = 1920, 1280, 1000.0
-    pts, scales, quats, opac, cols = build_scene(n)
+    pts, scales, quats, opac, cols, sem = build_scene(n)
     args = tuple(map(jnp.asarray, (pts, scales, quats, opac, cols)))
     K = jnp.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], jnp.float32)
     w2c = jnp.eye(4)

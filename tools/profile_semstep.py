@@ -37,9 +37,8 @@ def timeit(fn, x):
 def main():
     n = 200_000
     W, H, f = 1920, 1280, 1000.0
-    pts, scales, quats, opac, cols = build_scene(n)
+    pts, scales, quats, opac, cols, sem = build_scene(n)
     rng = np.random.default_rng(1)
-    sem = rng.integers(0, 6, n)
     state = create_from_pcd(pts, cols, sem, spatial_scale=30.0,
                             capacity=n, sh_degree=3)
     cam = Camera(w2c=jnp.eye(4),
