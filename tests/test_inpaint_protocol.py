@@ -122,3 +122,34 @@ def test_write_inpaint_conditions(tmp_path):
     np.testing.assert_array_equal(m0, fm[0])
     valid = np.load(os.path.join(ws, "valid_inpaint_frame.npy"))
     assert list(valid) == [0, 1, 2]
+
+
+def test_inpaint_worker_serves_requests(tmp_path):
+    """tools/inpaint_worker.py --once must answer pending protocol
+    requests (the GPU-host side of the out-of-band file exchange)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.inpaint_worker import make_backend, serve
+
+    root = str(tmp_path)
+    ip = DirectoryInpainter(root, timeout=0.01,
+                            fallback=DiffuseFillInpainter(iterations=5))
+    img = np.full((16, 16, 3), 0.25, np.float32)
+    img[4:12, 4:12] = 0.9
+    mask = np.zeros((16, 16), bool)
+    mask[6:10, 6:10] = True
+    # fallback answers immediately (no worker yet) but the request stays
+    ip.inpaint(img, mask)
+    ip.inpaint(img, mask, reference=img[::-1])
+
+    class _Args:
+        pass
+    n = serve(root, make_backend("diffuse", _Args()), once=True)
+    assert n == 2
+    for k in range(2):
+        out_path = os.path.join(root, "results", f"{k:06d}.png")
+        assert os.path.exists(out_path)
+    # a fresh DirectoryInpainter now gets the worker's answer for id 0
+    ip2 = DirectoryInpainter(root, timeout=5.0, poll_interval=0.05)
+    res = ip2.inpaint(img, mask)
+    assert res.shape == img.shape and np.isfinite(res).all()
