@@ -20,16 +20,21 @@ import jax
 import jax.numpy as jnp
 
 from .kernel import (CH, NQ, PIX, Q_ROW0, S_CHUNK, TILE_H, TILE_W,
-                     blend_dist_stream, blend_stream, ch_for,
-                     pack_geometry_T)
+                     blend_stream, ch_for, pack_geometry_T)
 from .preprocess import preprocess_surfels
 from .tiles import bin_surfels_stream
 from .types import RasterizeSettings, RenderOutput
 
 
 def default_duplicate_capacity(n_surfels: int, width: int, height: int,
-                               avg_tiles_per_surfel: float = 6.0) -> int:
-    """A practical static capacity for the sorted duplicate stream."""
+                               avg_tiles_per_surfel: float = 5.0) -> int:
+    """A practical static capacity for the sorted duplicate stream.
+
+    5.0 tiles/surfel holds ~12% headroom over the bench street scene's
+    measured ~4.5 after pre-expansion conic culling (was 6.0 for the
+    plain AABB expansion); undersizing degrades gracefully — farthest
+    surfels drop and ``RenderOutput.overflow`` flags it (the train loop
+    surfaces an overflow fraction)."""
     cap = int(n_surfels * avg_tiles_per_surfel) + 16 * S_CHUNK
     return -(-cap // S_CHUNK) * S_CHUNK
 
@@ -52,10 +57,12 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
     class probabilities without extra rasterizations (the reference runs
     2 whole extra passes, gaussian_renderer/__init__.py:347-369).
 
-    ``class_gates`` [N, G] bool runs the fused multi-gate distortion
-    kernel over the same binning/records: ``out.class_dist`` [H, W, G]
-    holds each class's gated depth-distortion map — the reference's 5
-    per-class rasterizations (train.py:94-105) as one extra blend."""
+    ``class_gates`` [N, G] bool fuses G per-class gated distortion chains
+    INTO the main blend pass (sharing pair math, the record stream, the
+    grid, and the backward's single pair vjp): ``out.class_dist``
+    [H, W, G] holds each class's gated depth-distortion map — the
+    reference's 5 per-class rasterizations (train.py:94-105) at the
+    marginal cost of the extra transmittance recurrences."""
     if interpret is None:
         # Mosaic only compiles for TPU; tests/virtual-device meshes run on
         # the CPU backend through the Pallas interpreter.
@@ -91,7 +98,8 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
     binning = bin_surfels_stream(sg(sur.center2d), sg(sur.ext),
                                  sg(sur.depth), sur.valid, settings.width,
                                  settings.height, TILE_W, TILE_H,
-                                 duplicate_capacity, max_tiles_per_surfel)
+                                 duplicate_capacity, max_tiles_per_surfel,
+                                 cull=sg(sur.cull))
 
     # lane-axis gather of the packed records — the step's one unavoidable
     # per-duplicate gather; builds the kernels' [rec, cap] layout directly
@@ -99,41 +107,33 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
                     binning.sorted_surfel, axis=1)
 
     num_tiles = binning.tiles_x * binning.tiles_y
+    gates_n = 0 if class_gates is None else n_gates
     acc, lk = blend_stream(recT, binning.tile_of_visit,
                            binning.chunk_of_visit, binning.first_of_tile,
                            binning.last_of_tile, binning.init_rev,
                            binning.lane_lo, binning.lane_hi,
                            num_tiles, binning.tiles_x, settings, interpret,
-                           nq)
+                           nq, gates_n, Q_ROW0 + nq)
+    ch_tot = ch + 4 * gates_n
+    # (tiles with no duplicates get an empty init-only visit that zeroes
+    # their blocks in-kernel — no counts>0 masking pass needed here)
 
-    # tiles with no duplicates have no visits → mask their garbage blocks
-    counts = binning.tile_offsets[1:] - binning.tile_offsets[:-1]
-    acc = jnp.where((counts > 0)[:, None, None], acc, 0.0)
+    # [T, PIX, ch_tot] → [ch_tot, H, W]
+    h, w_img = settings.height, settings.width
+    img = acc.reshape(binning.tiles_y, binning.tiles_x, TILE_H, TILE_W,
+                      ch_tot)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(
+        ch_tot, binning.tiles_y * TILE_H, binning.tiles_x * TILE_W)
+    img = img[:, :h, :w_img]
 
     class_dist = None
     if class_gates is not None:
-        accd = blend_dist_stream(
-            recT, binning.tile_of_visit, binning.chunk_of_visit,
-            binning.first_of_tile, binning.last_of_tile, binning.init_rev,
-            binning.lane_lo, binning.lane_hi, num_tiles, binning.tiles_x,
-            settings, interpret, Q_ROW0 + nq, n_gates)
-        accd = jnp.where((counts > 0)[:, None, None], accd, 0.0)
-        imgd = accd.reshape(binning.tiles_y, binning.tiles_x, TILE_H,
-                            TILE_W, 4 * n_gates)
-        imgd = imgd.transpose(4, 0, 2, 1, 3).reshape(
-            4 * n_gates, binning.tiles_y * TILE_H,
-            binning.tiles_x * TILE_W)[:, :settings.height, :settings.width]
-        al = imgd[0::4]
-        m1d = imgd[1::4]
-        m2d = imgd[2::4]
+        # fused gated chains: per class (alpha, m1, m2, lk) after the main
+        # channels; distortion_g telescopes like the main term below
+        al = img[ch + 0::4]
+        m1d = img[ch + 1::4]
+        m2d = img[ch + 2::4]
         class_dist = jnp.moveaxis(al * m2d - m1d * m1d, 0, -1)
-
-    # [T, PIX, ch] → [ch, H, W]
-    h, w_img = settings.height, settings.width
-    img = acc.reshape(binning.tiles_y, binning.tiles_x, TILE_H, TILE_W, ch)
-    img = img.transpose(4, 0, 2, 1, 3).reshape(
-        ch, binning.tiles_y * TILE_H, binning.tiles_x * TILE_W)
-    img = img[:, :h, :w_img]
 
     color = jnp.moveaxis(img[0:3], 0, -1)
     alpha = img[nq]

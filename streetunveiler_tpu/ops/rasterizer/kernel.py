@@ -44,6 +44,12 @@ Channel layout of the per-tile accumulator output [PIX, CH=12]:
   0-2 color, 3-5 view-space normal, 6 alpha, 7 expected-depth accum,
   8 unused (distortion is alpha·m2−m1², computed by the caller),
   9 m1 (Σωm), 10 m2 (Σωm²), 11 median depth.
+
+With ``n_gates=G`` the same pass additionally runs G per-class gated
+transmittance chains (the reference's 5 per-class distortion
+rasterizations, train.py:94-105) sharing the pair math, records, grid
+and — in the backward — the single pair vjp; 4 channels per class
+(alpha_g, m1_g, m2_g, lk_g) append after the main layout.
 """
 
 from __future__ import annotations
@@ -156,23 +162,34 @@ def _payload_sums(w, qc, nq):
 
 def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
                 rec_ref, acc_ref, lk_ref, state_ref, *, tiles_x, znear,
-                zfar, nq=NQ):
+                zfar, nq=NQ, n_gates=0, gate_row=0):
     ch = ch_for(nq)
     s = S_CHUNK
+    G = n_gates
     v = pl.program_id(0)
     px, py = _tile_pixel_coords(tile_of_ref[v], tiles_x)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
 
     @pl.when(first_ref[v] > 0)
     def _():
-        acc_ref[0] = jnp.zeros((PIX, ch), jnp.float32)
+        acc_ref[0] = jnp.zeros_like(acc_ref[0])
         lk_ref[0] = jnp.full((PIX, 1), -1, jnp.int32)
-        # state cols: 0 transmittance, 1 done flag
+        # state cols: 0 transmittance, 1 done flag, then per gated class
+        # (2+g transmittance, 2+G+g done)
         state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
         state_ref[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
+        for g in range(G):
+            acc_ref[0, :, ch + 4 * g + 3:ch + 4 * g + 4] = jnp.full(
+                (PIX, 1), -1.0, jnp.float32)   # per-class lk starts at −1
+        if G:
+            state_ref[:, 2:2 + G] = jnp.ones((PIX, G), jnp.float32)
+            state_ref[:, 2 + G:2 + 2 * G] = jnp.zeros((PIX, G), jnp.float32)
 
-    alldone = state_ref[0, 1] > 1.5      # sentinel: every pixel done
-    skip = jnp.logical_or(alldone, first_ref[v] < 0)  # −1 = sentinel visit
+    alldone = state_ref[0, 1] > 1.5      # sentinel: every chain done
+    # skips: −1 = sentinel visit; lo==hi = empty init-only visit (a tile
+    # with no duplicates — its block zeroing above is the entire job)
+    skip = jnp.logical_or(jnp.logical_or(alldone, first_ref[v] < 0),
+                          hi_ref[v] <= lo_ref[v])
 
     @pl.when(jnp.logical_not(skip))
     def _():
@@ -229,12 +246,65 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
         t_out = t_carry * jnp.exp(jnp.sum(kept_logom, axis=1, keepdims=True))
         done = jnp.logical_or(done, trigger_any)
 
-        acc_ref[0] = jnp.concatenate(
+        acc_ref[0, :, 0:ch] = jnp.concatenate(
             [cn, alpha, deptha, acc[:, nq + 2:nq + 3], m1, m2, med], axis=1)
         state_ref[:, 0:1] = t_out
-        # done-flag doubles as the tile-wide skip sentinel (2.0)
+
+        # ---- gated per-class distortion chains (fused: share the pair
+        # math, records and grid with the main chain; the reference runs
+        # these as 5 whole extra rasterizations, train.py:94-105). Each
+        # class g re-runs the transmittance recurrence over its gated
+        # alpha stream — skipped when the visit has no class-g lanes
+        # (street classes are spatially clustered).
+        if G:
+            gates = _gate_bits(chunk[gate_row:gate_row + 1, :], G)
+            for g in range(G):
+                has = jnp.max(jnp.where(inr, gates[g], 0.0)) > 0.5
+
+                @pl.when(has)
+                def _(g=g):
+                    tg_carry = state_ref[:, 2 + g:3 + g]
+                    done_g = state_ref[:, 2 + G + g:3 + G + g] > 0.5
+                    ag = a * gates[g]
+                    logom_g = jnp.log1p(-ag)
+                    tg_excl = tg_carry * jnp.exp(
+                        _mm_precise(logom_g, _prefix_mat(s, "excl")))
+                    tg_after = tg_excl * (1.0 - ag)
+                    keep_g = ((ag > 0.0) & (tg_after >= T_EPS)
+                              & jnp.logical_not(done_g))
+                    trig_g = jnp.max(
+                        jnp.where((ag > 0.0) & (tg_after < T_EPS), 1.0, 0.0),
+                        axis=1, keepdims=True) > 0.5
+                    wg = jnp.where(keep_g, ag * tg_excl, 0.0)
+                    wgm = wg * m
+                    c0 = ch + 4 * g
+                    acc_ref[0, :, c0:c0 + 1] = (
+                        acc_ref[0, :, c0:c0 + 1]
+                        + jnp.sum(wg, axis=1, keepdims=True))
+                    acc_ref[0, :, c0 + 1:c0 + 2] = (
+                        acc_ref[0, :, c0 + 1:c0 + 2]
+                        + jnp.sum(wgm, axis=1, keepdims=True))
+                    acc_ref[0, :, c0 + 2:c0 + 3] = (
+                        acc_ref[0, :, c0 + 2:c0 + 3]
+                        + jnp.sum(wgm * m, axis=1, keepdims=True))
+                    lkg = jnp.max(jnp.where(keep_g, gidxf, -1.0), axis=1,
+                                  keepdims=True)
+                    acc_ref[0, :, c0 + 3:c0 + 4] = jnp.maximum(
+                        acc_ref[0, :, c0 + 3:c0 + 4], lkg)
+                    kept_lg = jnp.where(keep_g, logom_g, 0.0)
+                    state_ref[:, 2 + g:3 + g] = tg_carry * jnp.exp(
+                        jnp.sum(kept_lg, axis=1, keepdims=True))
+                    state_ref[:, 2 + G + g:3 + G + g] = jnp.where(
+                        jnp.logical_or(done_g, trig_g), 1.0, 0.0)
+
+        # done-flag doubles as the tile-wide skip sentinel (2.0) — only
+        # once the main chain AND every gated chain are finished
         done_f = done.astype(jnp.float32)
-        state_ref[:, 1:2] = jnp.where(jnp.all(done), done_f + 1.0, done_f)
+        every = jnp.all(done)
+        if G:
+            every = jnp.logical_and(
+                every, jnp.min(state_ref[:, 2 + G:2 + 2 * G]) > 0.5)
+        state_ref[:, 1:2] = jnp.where(every, done_f + 1.0, done_f)
 
 
 # ---------------------------------------------------------------- backward
@@ -250,26 +320,39 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
 
 def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
                 hi_ref, rec_ref, acc_ref, lk_ref, dacc_ref, dgrad_ref,
-                state_ref, *, num_visits, tiles_x, znear, zfar, nq=NQ):
+                state_ref, *scratch, num_visits, tiles_x, znear, zfar,
+                nq=NQ, n_gates=0, gate_row=0):
     s = S_CHUNK
+    G = n_gates
+    ch = ch_for(nq)
     v = num_visits - 1 - pl.program_id(0)
     px, py = _tile_pixel_coords(tile_of_ref[v], tiles_x)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
 
     @pl.when(last_ref[v] > 0)
     def _():
-        # state cols: 0 suffix transmittance U, 1 suffix Σ ωΩ
+        # state cols: 0 suffix transmittance U, 1 suffix Σ ωΩ, then per
+        # gated class (2+g U_g, 2+G+g suffix Σ ωΩ_g)
         state_ref[:, 0:1] = 1.0 - acc_ref[0][:, nq:nq + 1]
         state_ref[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
+        for g in range(G):
+            state_ref[:, 2 + g:3 + g] = (
+                1.0 - acc_ref[0][:, ch + 4 * g:ch + 4 * g + 1])
+        if G:
+            state_ref[:, 2 + G:2 + 2 * G] = jnp.zeros((PIX, G), jnp.float32)
 
     # Early-termination skip, mirroring the forward's done sentinel: if
-    # every pixel's last contributor precedes this chunk, no pair has
-    # gidx ≤ lk — the visit is gradient-free. Suffix state is unchanged
-    # (all klogom = 0); only the chunk gradient block needs its init.
+    # every pixel's last contributor (on every chain) precedes this chunk,
+    # no pair has gidx ≤ lk — the visit is gradient-free. Suffix state is
+    # unchanged (all klogom = 0); only the gradient block needs its init.
     # f32 max: int32 reductions lower pathologically in Mosaic (see the
     # forward kernel's med/lk comment); lk < 2^24 so f32 is exact
-    dead = jnp.max(lk_ref[0].astype(jnp.float32)) < (
-        chunk_of_ref[v] * s).astype(jnp.float32)
+    start_f = (chunk_of_ref[v] * s).astype(jnp.float32)
+    lk_max = jnp.max(lk_ref[0].astype(jnp.float32))
+    for g in range(G):
+        lk_max = jnp.maximum(
+            lk_max, jnp.max(acc_ref[0][:, ch + 4 * g + 3:ch + 4 * g + 4]))
+    dead = lk_max < start_f
 
     @pl.when(jnp.logical_and(last_ref[v] >= 0, dead))
     def _():
@@ -306,24 +389,82 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
         w = jnp.where(keep, a * t_excl, 0.0)
 
         m = map_depth(tdep, znear, zfar)
-        # NQ-rank contraction as VPU outer-product adds (MXU would pad to
-        # 128); distortion cotangents arrive folded into galpha/gm1/gm2.
-        gq_qc = jnp.zeros_like(a)
-        for kk in range(nq):
-            gq_qc = gq_qc + gq[:, kk:kk + 1] * qc[kk:kk + 1, :]
+        dmdt = (zfar * znear / (zfar - znear)) / jnp.maximum(
+            tdep * tdep, 1e-12)
+        # Low-rank payload contraction: at the default nq=6 the VPU
+        # outer-product loop wins (the MXU pads the contraction dim to
+        # 128 and charges for it); for fused semantic payloads (nq=12+)
+        # ONE padded matmul beats nq [P,S] FMAs. Single-pass DEFAULT
+        # matches the gradient-precision standard already set by
+        # ``ssuf_pair``'s ``_mm`` below (one bf16 rounding per operand).
+        # Distortion cotangents arrive folded into galpha/gm1/gm2.
+        if nq <= 8:
+            gq_qc = jnp.zeros_like(a)
+            for kk in range(nq):
+                gq_qc = gq_qc + gq[:, kk:kk + 1] * qc[kk:kk + 1, :]
+        else:
+            gq_qc = jax.lax.dot_general(
+                gq, qc, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         omega = gq_qc + galpha + gdepth * tdep + gm1 * m + gm2 * m * m
         womega = w * omega
         ssuf_pair = ssuf + _mm(womega, _prefix_mat(s, "sexcl"))
         ssuf_out = ssuf + jnp.sum(womega, axis=1, keepdims=True)
 
         da = jnp.where(keep, t_excl * omega - ssuf_pair / (1.0 - a), 0.0)
-        dmdt = (zfar * znear / (zfar - znear)) / jnp.maximum(
-            tdep * tdep, 1e-12)
         dt = w * (gdepth + (gm1 + 2.0 * m * gm2) * dmdt)
         # cotangents are zero outside this visit's lane range, so drec is
         # too (the pair function is lane-local) — no extra masking needed
         da = jnp.where(inr, da, 0.0)
         dt = jnp.where(inr, dt, 0.0)
+
+        state_ref[:, 0:1] = u_out
+        state_ref[:, 1:2] = ssuf_out
+
+        # ---- gated per-class chains: mirror the forward's fused blocks,
+        # accumulating their pair cotangents into the SAME (da, dt) so one
+        # shared pair_vjp serves every chain
+        if G:
+            da_ref, dt_ref = scratch
+            da_ref[:, :] = da
+            dt_ref[:, :] = dt
+            gates = _gate_bits(chunk[gate_row:gate_row + 1, :], G)
+            for g in range(G):
+                lkg = acc_ref[0][:, ch + 4 * g + 3:ch + 4 * g + 4]
+                has = jnp.logical_and(
+                    jnp.max(jnp.where(inr, gates[g], 0.0)) > 0.5,
+                    jnp.max(lkg) >= start_f)
+
+                @pl.when(has)
+                def _(g=g, lkg=lkg):
+                    ga = dacc_ref[0][:, ch + 4 * g:ch + 4 * g + 1]
+                    gm1g = dacc_ref[0][:, ch + 4 * g + 1:ch + 4 * g + 2]
+                    gm2g = dacc_ref[0][:, ch + 4 * g + 2:ch + 4 * g + 3]
+                    ug_in = state_ref[:, 2 + g:3 + g]
+                    ssufg = state_ref[:, 2 + G + g:3 + G + g]
+                    ag = a * gates[g]
+                    keep_g = (ag > 0.0) & (gidx.astype(jnp.float32) <= lkg)
+                    klg = jnp.where(keep_g, jnp.log1p(-ag), 0.0)
+                    tg_excl = ug_in * jnp.exp(-_mm_precise(
+                        klg, _prefix_mat(s, "sincl")))
+                    wg = jnp.where(keep_g, ag * tg_excl, 0.0)
+                    omg = ga + gm1g * m + gm2g * m * m
+                    wom = wg * omg
+                    ssufg_pair = ssufg + _mm(wom, _prefix_mat(s, "sexcl"))
+                    dag = jnp.where(
+                        keep_g, tg_excl * omg - ssufg_pair / (1.0 - ag),
+                        0.0)
+                    dtg = wg * (gm1g + 2.0 * m * gm2g) * dmdt
+                    # ∂ag/∂a = gate (0/1); dag is zero off-class already
+                    da_ref[:, :] = da_ref[:, :] + jnp.where(inr, dag, 0.0)
+                    dt_ref[:, :] = dt_ref[:, :] + jnp.where(inr, dtg, 0.0)
+                    state_ref[:, 2 + g:3 + g] = ug_in * jnp.exp(
+                        -jnp.sum(klg, axis=1, keepdims=True))
+                    state_ref[:, 2 + G + g:3 + G + g] = ssufg + jnp.sum(
+                        wom, axis=1, keepdims=True)
+            da = da_ref[:, :]
+            dt = dt_ref[:, :]
 
         (drec,) = pair_vjp((da, dt))                     # [REC, S]
         dq = jnp.concatenate(
@@ -340,9 +481,6 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
         @pl.when(init_ref[v] == 0)
         def _():
             dgrad_ref[:, :] = dgrad_ref[:, :] + contrib
-
-        state_ref[:, 0:1] = u_out
-        state_ref[:, 1:2] = ssuf_out
 
 
 # ------------------------------------------------------------- public core
@@ -373,27 +511,41 @@ def pack_geometry_T(sur, n_surfels: int, extra_payload=None):
     return jnp.concatenate([rec, jnp.zeros((1, rec_rows))], axis=0).T
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _state_width(n_gates: int) -> int:
+    return -(-max(8, 2 + 2 * n_gates) // 8) * 8
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12,
+                                                    13, 14))
 def blend_stream(recT, tile_of, chunk_of, first_f, last_f, init_rev,
                  lo, hi, num_tiles, tiles_x, settings, interpret=False,
-                 nq=NQ):
+                 nq=NQ, n_gates=0, gate_row=0):
     """Pallas blend over the compact sorted duplicate stream.
 
     recT [REC, cap] f32 (lane-major records); the visit arrays come from
     ``tiles.bin_surfels_stream``. Returns (acc [T, PIX, CH], lk [T, PIX, 1]).
     Tiles with no visits are left uninitialized — the caller masks them.
+
+    ``n_gates`` > 0 fuses G per-class gated distortion chains into the
+    same pass (sharing pair math, records, grid and — in the backward —
+    the single pair vjp): acc grows by 4·G channels, per class
+    (alpha_g, m1_g, m2_g, lk_g as f32). ``gate_row`` is the record row
+    holding the per-surfel class bitmask (an exact small float).
     """
     return _blend_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
-                           num_tiles, tiles_x, settings, interpret, nq)
+                           num_tiles, tiles_x, settings, interpret, nq,
+                           n_gates, gate_row)
 
 
 def _blend_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
-                    num_tiles, tiles_x, settings, interpret, nq=NQ):
+                    num_tiles, tiles_x, settings, interpret, nq=NQ,
+                    n_gates=0, gate_row=0):
     vcap = tile_of.shape[0]
-    rec, ch = recT.shape[0], ch_for(nq)
+    rec = recT.shape[0]
+    ch = ch_for(nq) + 4 * n_gates
     kern = functools.partial(_fwd_kernel, tiles_x=tiles_x,
                              znear=settings.znear, zfar=settings.zfar,
-                             nq=nq)
+                             nq=nq, n_gates=n_gates, gate_row=gate_row)
     acc, lk = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -411,7 +563,7 @@ def _blend_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((PIX, 8), jnp.float32),
+                pltpu.VMEM((PIX, _state_width(n_gates)), jnp.float32),
             ],
         ),
         out_shape=[
@@ -424,23 +576,31 @@ def _blend_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
 
 
 def _blend_fwd(recT, tile_of, chunk_of, first_f, last_f, init_rev, lo, hi,
-               num_tiles, tiles_x, settings, interpret=False, nq=NQ):
+               num_tiles, tiles_x, settings, interpret=False, nq=NQ,
+               n_gates=0, gate_row=0):
     acc, lk = _blend_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
-                              num_tiles, tiles_x, settings, interpret, nq)
+                              num_tiles, tiles_x, settings, interpret, nq,
+                              n_gates, gate_row)
     return (acc, lk), (recT, tile_of, chunk_of, last_f, init_rev, lo, hi,
                        acc, lk)
 
 
-def _blend_bwd(num_tiles, tiles_x, settings, interpret, nq, res, cts):
+def _blend_bwd(num_tiles, tiles_x, settings, interpret, nq, n_gates,
+               gate_row, res, cts):
     (recT, tile_of, chunk_of, last_f, init_rev, lo, hi, acc, lk) = res
     dacc, _ = cts
     vcap = tile_of.shape[0]
     cap = recT.shape[1]
-    rec, ch = recT.shape[0], ch_for(nq)
+    rec = recT.shape[0]
+    ch = ch_for(nq) + 4 * n_gates
     kern = functools.partial(_bwd_kernel, num_visits=vcap, tiles_x=tiles_x,
                              znear=settings.znear, zfar=settings.zfar,
-                             nq=nq)
+                             nq=nq, n_gates=n_gates, gate_row=gate_row)
     rev = lambda g: vcap - 1 - g
+    scratch = [pltpu.VMEM((PIX, _state_width(n_gates)), jnp.float32)]
+    if n_gates:
+        scratch += [pltpu.VMEM((PIX, S_CHUNK), jnp.float32),
+                    pltpu.VMEM((PIX, S_CHUNK), jnp.float32)]
     dgrad = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -468,9 +628,7 @@ def _blend_bwd(num_tiles, tiles_x, settings, interpret, nq, res, cts):
                              lambda g, t, c, l, ir, lo_, hi_: (0, c[rev(g)]),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((PIX, 8), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((rec, cap), jnp.float32),
@@ -484,28 +642,12 @@ def _blend_bwd(num_tiles, tiles_x, settings, interpret, nq, res, cts):
 blend_stream.defvjp(_blend_fwd, _blend_bwd)
 
 
-# ------------------------------------------- multi-gate distortion blend
+# ------------------------------------------- gate decoding helper
 #
-# The reference's late training phase renders each semantic class's
-# surfels SEPARATELY just to read the per-class depth-distortion term
-# (train.py:94-105 — 5 full rasterizations per step). Gated renders share
-# everything except the transmittance chain: same visit stream, same pair
-# math, same depth mapping. This kernel runs G gated alpha/m1/m2
-# accumulations in ONE pass: per visit it computes the pair function once
-# and unrolls G per-class prefix/suffix blocks, each guarded by a
-# "class has gated lanes in this visit" scalar skip (class surfels are
-# spatially clustered, so most visits run 1-2 of the G blocks).
-#
-# Gates arrive as ONE record row (GATE row) holding the per-surfel class
-# bitmask as an exact small float (bit g = class g membership). The row
-# index is a static arg so the same packed record (and the same gather!)
-# serves the main blend and this kernel; their recT cotangents add and
-# flow through one shared scatter.
-#
-# Outputs: accd [T, PIX, 4*G] — per class (alpha, m1, m2, lk) — lk is the
-# last-contributor duplicate index as f32 (exact < 2^24), the backward's
-# keep-set marker, carried in the accumulator block so the kernel has a
-# single output stream.
+# Gates arrive as ONE record row holding the per-surfel class bitmask as
+# an exact small float (bit g = class g membership); the row index is a
+# static arg so the same packed record (and the same gather) serves the
+# payload and the gated chains.
 
 def _gate_bits(grow, n_gates):
     """Decode G gate rows [1,S] (0/1 floats) from the packed bitmask row."""
@@ -516,268 +658,3 @@ def _gate_bits(grow, n_gates):
         bits.append(r - 2.0 * half)
         r = half
     return bits
-
-
-def _dist_fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
-                     rec_ref, acc_ref, state_ref, *, tiles_x, znear, zfar,
-                     gate_row, n_gates):
-    s = S_CHUNK
-    v = pl.program_id(0)
-    px, py = _tile_pixel_coords(tile_of_ref[v], tiles_x)
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
-    G = n_gates
-
-    @pl.when(first_ref[v] > 0)
-    def _():
-        acc_ref[0] = jnp.zeros_like(acc_ref[0])
-        # lk channels start at -1
-        for g in range(G):
-            acc_ref[0, :, 4 * g + 3:4 * g + 4] = jnp.full(
-                (PIX, 1), -1.0, jnp.float32)
-        state_ref[:, 0:G] = jnp.ones((PIX, G), jnp.float32)   # T_g
-        state_ref[:, G:2 * G] = jnp.zeros((PIX, G), jnp.float32)  # done_g
-
-    @pl.when(first_ref[v] >= 0)
-    def _():
-        chunk = rec_ref[:, :]
-        a0, tdep = _pair_fn(chunk, px, py, znear)
-        inr = (iota_s >= lo_ref[v]) & (iota_s < hi_ref[v])
-        a0 = jnp.where(inr, a0, 0.0)
-        m = map_depth(tdep, znear, zfar)
-        gates = _gate_bits(chunk[gate_row:gate_row + 1, :], G)
-        iota_f = iota_s.astype(jnp.float32)
-        gidxf = (chunk_of_ref[v] * s).astype(jnp.float32) + iota_f
-
-        for g in range(G):
-            has = jnp.max(jnp.where(inr, gates[g], 0.0)) > 0.5
-
-            @pl.when(has)
-            def _(g=g):
-                t_carry = state_ref[:, g:g + 1]
-                done = state_ref[:, G + g:G + g + 1] > 0.5
-                a = a0 * gates[g]
-                logom = jnp.log1p(-a)
-                t_excl = t_carry * jnp.exp(
-                    _mm_precise(logom, _prefix_mat(s, "excl")))
-                t_after = t_excl * (1.0 - a)
-                keep = ((a > 0.0) & (t_after >= T_EPS)
-                        & jnp.logical_not(done))
-                trig = jnp.max(jnp.where((a > 0.0) & (t_after < T_EPS),
-                                         1.0, 0.0), axis=1,
-                               keepdims=True) > 0.5
-                w = jnp.where(keep, a * t_excl, 0.0)
-                wm = w * m
-                c0 = 4 * g
-                acc_ref[0, :, c0:c0 + 1] = (
-                    acc_ref[0, :, c0:c0 + 1]
-                    + jnp.sum(w, axis=1, keepdims=True))
-                acc_ref[0, :, c0 + 1:c0 + 2] = (
-                    acc_ref[0, :, c0 + 1:c0 + 2]
-                    + jnp.sum(wm, axis=1, keepdims=True))
-                acc_ref[0, :, c0 + 2:c0 + 3] = (
-                    acc_ref[0, :, c0 + 2:c0 + 3]
-                    + jnp.sum(wm * m, axis=1, keepdims=True))
-                lkf = jnp.max(jnp.where(keep, gidxf, -1.0), axis=1,
-                              keepdims=True)
-                acc_ref[0, :, c0 + 3:c0 + 4] = jnp.maximum(
-                    acc_ref[0, :, c0 + 3:c0 + 4], lkf)
-                kept_logom = jnp.where(keep, logom, 0.0)
-                state_ref[:, g:g + 1] = t_carry * jnp.exp(
-                    jnp.sum(kept_logom, axis=1, keepdims=True))
-                state_ref[:, G + g:G + g + 1] = jnp.where(
-                    jnp.logical_or(done, trig), 1.0, 0.0)
-
-
-def _dist_bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref,
-                     lo_ref, hi_ref, rec_ref, acc_ref, dacc_ref,
-                     dgrad_ref, state_ref, da_ref, dt_ref, *, num_visits,
-                     tiles_x, znear, zfar, gate_row, n_gates):
-    s = S_CHUNK
-    v = num_visits - 1 - pl.program_id(0)
-    px, py = _tile_pixel_coords(tile_of_ref[v], tiles_x)
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
-    G = n_gates
-
-    @pl.when(last_ref[v] > 0)
-    def _():
-        for g in range(G):
-            state_ref[:, g:g + 1] = 1.0 - acc_ref[0, :, 4 * g:4 * g + 1]
-        state_ref[:, G:2 * G] = jnp.zeros((PIX, G), jnp.float32)
-
-    lk_all = jnp.concatenate([acc_ref[0, :, 4 * g + 3:4 * g + 4]
-                              for g in range(G)], axis=1)
-    dead = jnp.max(lk_all) < (chunk_of_ref[v] * s).astype(jnp.float32)
-
-    @pl.when(jnp.logical_and(last_ref[v] >= 0, dead))
-    def _():
-        @pl.when(init_ref[v] > 0)
-        def _():
-            dgrad_ref[:, :] = jnp.zeros_like(dgrad_ref)
-
-    @pl.when(jnp.logical_and(last_ref[v] >= 0, jnp.logical_not(dead)))
-    def _():
-        chunk = rec_ref[:, :]
-        pair = functools.partial(_pair_fn, px=px, py=py, znear=znear)
-        (a0, tdep), pair_vjp = jax.vjp(pair, chunk)
-        inr = (iota_s >= lo_ref[v]) & (iota_s < hi_ref[v])
-        a0 = jnp.where(inr, a0, 0.0)
-        m = map_depth(tdep, znear, zfar)
-        dmdt = (zfar * znear / (zfar - znear)) / jnp.maximum(
-            tdep * tdep, 1e-12)
-        gates = _gate_bits(chunk[gate_row:gate_row + 1, :], G)
-        gidxf = ((chunk_of_ref[v] * s).astype(jnp.float32)
-                 + iota_s.astype(jnp.float32))
-
-        da_ref[:, :] = jnp.zeros((PIX, s), jnp.float32)
-        dt_ref[:, :] = jnp.zeros((PIX, s), jnp.float32)
-
-        for g in range(G):
-            lk = acc_ref[0, :, 4 * g + 3:4 * g + 4]
-            has = jnp.logical_and(
-                jnp.max(jnp.where(inr, gates[g], 0.0)) > 0.5,
-                jnp.max(lk) >= (chunk_of_ref[v] * s).astype(jnp.float32))
-
-            @pl.when(has)
-            def _(g=g, lk=lk):
-                galpha = dacc_ref[0, :, 4 * g:4 * g + 1]
-                gm1 = dacc_ref[0, :, 4 * g + 1:4 * g + 2]
-                gm2 = dacc_ref[0, :, 4 * g + 2:4 * g + 3]
-                u_in = state_ref[:, g:g + 1]
-                ssuf = state_ref[:, G + g:G + g + 1]
-                a = a0 * gates[g]
-                keep = (a > 0.0) & (gidxf <= lk)
-                klogom = jnp.where(keep, jnp.log1p(-a), 0.0)
-                t_excl = u_in * jnp.exp(-_mm_precise(
-                    klogom, _prefix_mat(s, "sincl")))
-                u_out = u_in * jnp.exp(-jnp.sum(klogom, axis=1,
-                                                keepdims=True))
-                w = jnp.where(keep, a * t_excl, 0.0)
-                omega = galpha + gm1 * m + gm2 * m * m
-                womega = w * omega
-                ssuf_pair = ssuf + _mm(womega, _prefix_mat(s, "sexcl"))
-                da = jnp.where(keep,
-                               t_excl * omega - ssuf_pair / (1.0 - a),
-                               0.0)
-                dt = w * (gm1 + 2.0 * m * gm2) * dmdt
-                # ∂a/∂a0 = gate (0/1) and da==0 off-class; dt likewise
-                da_ref[:, :] = da_ref[:, :] + jnp.where(inr, da, 0.0)
-                dt_ref[:, :] = dt_ref[:, :] + jnp.where(inr, dt, 0.0)
-                state_ref[:, g:g + 1] = u_out
-                state_ref[:, G + g:G + g + 1] = ssuf + jnp.sum(
-                    womega, axis=1, keepdims=True)
-
-        (drec,) = pair_vjp((da_ref[:, :], dt_ref[:, :]))
-
-        @pl.when(init_ref[v] > 0)
-        def _():
-            dgrad_ref[:, :] = drec
-
-        @pl.when(init_ref[v] == 0)
-        def _():
-            dgrad_ref[:, :] = dgrad_ref[:, :] + drec
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
-def blend_dist_stream(recT, tile_of, chunk_of, first_f, last_f, init_rev,
-                      lo, hi, num_tiles, tiles_x, settings, interpret,
-                      gate_row, n_gates):
-    """Fused G-class gated distortion blend over the shared visit stream.
-
-    Returns accd [T, PIX, 4*G]: per class (alpha, m1, m2, lk_f32). The
-    caller computes distortion_g = alpha_g*m2_g - m1_g^2 per class.
-    """
-    return _dist_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
-                          num_tiles, tiles_x, settings, interpret,
-                          gate_row, n_gates)
-
-
-def _dist_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi, num_tiles,
-                   tiles_x, settings, interpret, gate_row, n_gates):
-    vcap = tile_of.shape[0]
-    rec = recT.shape[0]
-    chd = 4 * n_gates
-    kern = functools.partial(_dist_fwd_kernel, tiles_x=tiles_x,
-                             znear=settings.znear, zfar=settings.zfar,
-                             gate_row=gate_row, n_gates=n_gates)
-    accd = pl.pallas_call(
-        kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(vcap,),
-            in_specs=[pl.BlockSpec((rec, S_CHUNK),
-                                   lambda v, t, c, f, lo_, hi_: (0, c[v]),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=[
-                pl.BlockSpec((1, PIX, chd),
-                             lambda v, t, c, f, lo_, hi_: (t[v], 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((PIX, 2 * n_gates), jnp.float32),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, PIX, chd), jnp.float32),
-        ],
-        interpret=interpret,
-    )(tile_of, chunk_of, first_f, lo, hi, recT)[0]
-    return accd
-
-
-def _dist_fwd(recT, tile_of, chunk_of, first_f, last_f, init_rev, lo, hi,
-              num_tiles, tiles_x, settings, interpret, gate_row, n_gates):
-    accd = _dist_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
-                          num_tiles, tiles_x, settings, interpret,
-                          gate_row, n_gates)
-    return accd, (recT, tile_of, chunk_of, last_f, init_rev, lo, hi, accd)
-
-
-def _dist_bwd(num_tiles, tiles_x, settings, interpret, gate_row, n_gates,
-              res, daccd):
-    (recT, tile_of, chunk_of, last_f, init_rev, lo, hi, accd) = res
-    vcap = tile_of.shape[0]
-    rec, cap = recT.shape
-    kern = functools.partial(_dist_bwd_kernel, num_visits=vcap,
-                             tiles_x=tiles_x, znear=settings.znear,
-                             zfar=settings.zfar, gate_row=gate_row,
-                             n_gates=n_gates)
-    rev = lambda g: vcap - 1 - g
-    chd = 4 * n_gates
-    dgrad = pl.pallas_call(
-        kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
-            grid=(vcap,),
-            in_specs=[
-                pl.BlockSpec((rec, S_CHUNK),
-                             lambda g, t, c, l, ir, lo_, hi_:
-                             (0, c[rev(g)]),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, PIX, chd),
-                             lambda g, t, c, l, ir, lo_, hi_:
-                             (t[rev(g)], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, PIX, chd),
-                             lambda g, t, c, l, ir, lo_, hi_:
-                             (t[rev(g)], 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((rec, S_CHUNK),
-                             lambda g, t, c, l, ir, lo_, hi_:
-                             (0, c[rev(g)]),
-                             memory_space=pltpu.VMEM),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((PIX, 2 * n_gates), jnp.float32),
-                pltpu.VMEM((PIX, S_CHUNK), jnp.float32),
-                pltpu.VMEM((PIX, S_CHUNK), jnp.float32),
-            ],
-        ),
-        out_shape=[jax.ShapeDtypeStruct((rec, cap), jnp.float32)],
-        interpret=interpret,
-    )(tile_of, chunk_of, last_f, init_rev, lo, hi, recT, accd, daccd)[0]
-    return (dgrad,) + (None,) * 7
-
-
-blend_dist_stream.defvjp(_dist_fwd, _dist_bwd)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..transforms import quat_to_rotmat
-from .types import RasterizeSettings
+from .types import FILTER_INV_SQUARE, RasterizeSettings
 
 
 class SurfelScreen(NamedTuple):
@@ -51,6 +51,11 @@ class SurfelScreen(NamedTuple):
     #                       rectangular AABB for tile binning (lossless, and
     #                       ~30% fewer tile duplicates than the square radius)
     valid: jnp.ndarray    # [N] bool — in frustum and non-degenerate
+    cull: jnp.ndarray     # [N, 11] per-surfel conic-cull table (stop-grad):
+    #                       9 affine k-coefficients (A=r1×r2, B=r2×r3,
+    #                       C=r3×r1 so that k(p) = A + px·B + py·C), rho_max,
+    #                       d2max — lets the binning drop AABB tiles the
+    #                       contribution region misses (~17% of duplicates)
 
 
 def preprocess_surfels(means3d, scales, quats, opacities, colors,
@@ -98,28 +103,54 @@ def preprocess_surfels(means3d, scales, quats, opacities, colors,
                        depth], axis=-1)
     M = jnp.stack([col_a, col_b, col_c], axis=-1)    # [N,3,3]
 
-    # Screen-space extent: exact sub-level-set bound of the contribution
+    # Screen-space extent: EXACT projective bound of the contribution
     # region. A pair contributes iff α = opacity·exp(−ρ/2) ≥ 1/255, i.e.
-    # ρ ≤ ρ_max = 2·ln(255·opacity). The region is the union of the ρ3d
-    # ellipse (semi-extents k·‖projected axes‖ with k = √ρ_max) and the
-    # low-pass disc (ρ2d = 2d² ≤ ρ_max → r = √(ρ_max/2)). Using the exact
-    # bound makes tile-culling lossless: the tiled kernel and the untiled
-    # oracle produce bitwise-identical contributing sets.
-    inv_z = 1.0 / zsafe
-    a2d_x = (a[:, 0] * fx - (center2d[:, 0] - cx) * a[:, 2]) * inv_z
-    a2d_y = (a[:, 1] * fy - (center2d[:, 1] - cy) * a[:, 2]) * inv_z
-    b2d_x = (b[:, 0] * fx - (center2d[:, 0] - cx) * b[:, 2]) * inv_z
-    b2d_y = (b[:, 1] * fy - (center2d[:, 1] - cy) * b[:, 2]) * inv_z
-    # The radius/extent only feeds culling and binning (index space) — it is
-    # never differentiated, and sqrt-at-zero under the max would leak
+    # ρ ≤ ρ_max = 2·ln(255·opacity); the region is the union of the ρ3d
+    # set (the image of the uv-disc u²+v² ≤ ρ_max under the homography M
+    # — a conic, NOT the linearized ellipse: for strongly tilted splats
+    # the true footprint extends past the tangent-plane approximation)
+    # and the low-pass disc (ρ2d = 2d² ≤ ρ_max). The conic's axis-aligned
+    # extremes come from the dual conic D = M·diag(ρ,ρ,−1)·Mᵀ: a line
+    # (1,0,−x) is tangent iff D00 − 2x·D02 + x²·D22 = 0, so
+    # x ∈ D02/D22 ± √((D02/D22)² − D00/D22) (the 2DGS CUDA rasterizer's
+    # compute_aabb; SURVEY.md §3.5). Using the exact bound makes tile
+    # binning lossless: the tiled kernel and the untiled oracle produce
+    # identical contributing sets (parity-tested, incl. off-center
+    # splats in test_empty_tiles_zeroed_in_kernel).
+    # The radius/extent only feeds culling and binning (index space) — it
+    # is never differentiated, and sqrt-at-zero under the max would leak
     # inf·0 = NaN into the opacity/axis gradients of culled surfels.
     sg = jax.lax.stop_gradient
     op = opacities.reshape(-1)
     rho_max = 2.0 * jnp.log(jnp.maximum(255.0 * sg(op), 1e-6))
-    k = jnp.sqrt(jnp.maximum(rho_max, 1e-12))
-    r_lowpass = jnp.sqrt(jnp.maximum(rho_max, 1e-12) * 0.5)
-    ext_x = sg(jnp.maximum(k * jnp.sqrt(a2d_x**2 + b2d_x**2), r_lowpass)) + 0.51
-    ext_y = sg(jnp.maximum(k * jnp.sqrt(a2d_y**2 + b2d_y**2), r_lowpass)) + 0.51
+    rho_pos = jnp.maximum(rho_max, 1e-12)
+    Msg = sg(M)
+
+    def conic_interval(i):
+        """Exact [lo, hi] of screen coord i over the ρ3d region, as an
+        extent around center2d (widened to cover the asymmetry)."""
+        ri, r3 = Msg[:, i, :], Msg[:, 2, :]
+        dii = rho_pos * (ri[:, 0] ** 2 + ri[:, 1] ** 2) - ri[:, 2] ** 2
+        di2 = (rho_pos * (ri[:, 0] * r3[:, 0] + ri[:, 1] * r3[:, 1])
+               - ri[:, 2] * r3[:, 2])
+        d22 = rho_pos * (r3[:, 0] ** 2 + r3[:, 1] ** 2) - r3[:, 2] ** 2
+        bounded = d22 < -1e-12
+        d22s = jnp.where(bounded, d22, -1.0)
+        ce = di2 / d22s
+        half = jnp.sqrt(jnp.maximum(ce * ce - dii / d22s, 0.0))
+        # unbounded conic image (splat plane grazing the camera): cover
+        # everything; the exact conic tile test in the binning prunes it
+        return (jnp.where(bounded, ce, 0.0),
+                jnp.where(bounded, half, 1e6))
+
+    cex, ext3_x = conic_interval(0)
+    cey, ext3_y = conic_interval(1)
+    r_lowpass = jnp.sqrt(rho_pos * 0.5)
+    c2dsg = sg(center2d)
+    ext_x = jnp.maximum(jnp.abs(cex - c2dsg[:, 0]) + ext3_x,
+                        r_lowpass) + 0.51
+    ext_y = jnp.maximum(jnp.abs(cey - c2dsg[:, 1]) + ext3_y,
+                        r_lowpass) + 0.51
     radius = jnp.maximum(ext_x, ext_y)
     visible = rho_max > 0.0  # opacity below 1/255 can never contribute
 
@@ -132,7 +163,20 @@ def preprocess_surfels(means3d, scales, quats, opacities, colors,
 
     ext = jnp.stack([jnp.where(valid, ext_x, 0.0),
                      jnp.where(valid, ext_y, 0.0)], axis=-1)
+
+    # Conic-cull table: the pair condition ρ3d ≤ ρ_max is pointwise
+    # equivalent to the quadratic kx²+ky²−ρ_max·kz² ≤ 0 with
+    # k(p) = A + px·B + py·C (blendmath's hoisted cross products). The
+    # binning minimizes that quadratic over each candidate tile's pixel
+    # rect and drops tiles where neither it nor the low-pass disc
+    # (‖p−c‖² ≤ d2max ⟺ ρ2d ≤ ρ_max) can contribute.
+    r1, r2, r3 = (sg(M[:, i, :]) for i in range(3))
+    cull = jnp.concatenate([
+        jnp.cross(r1, r2), jnp.cross(r2, r3), jnp.cross(r3, r1),
+        sg(rho_max)[:, None],
+        sg(rho_max)[:, None] * (1.0 / FILTER_INV_SQUARE)], axis=1)
+
     return SurfelScreen(M=M, center2d=center2d, depth=depth, normal=n,
                         opacity=op, color=colors,
                         radius=jnp.where(valid, radius, 0.0), ext=ext,
-                        valid=valid)
+                        valid=valid, cull=cull)

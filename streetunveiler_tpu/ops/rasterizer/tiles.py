@@ -36,6 +36,9 @@ import jax
 import jax.numpy as jnp
 
 S_CHUNK = 128  # duplicates per stream chunk == kernel lane count
+CULL_KMAX = 16  # AABB tile-span up to which the conic cull runs BEFORE
+#                 duplicate expansion (exact counts shrink the stream);
+#                 wider surfels fall back to post-expansion culling
 
 
 class StreamBinning(NamedTuple):
@@ -60,13 +63,79 @@ def visit_capacity(dup_capacity: int, tiles_x: int, tiles_y: int) -> int:
     return dup_capacity // S_CHUNK + tiles_x * tiles_y
 
 
+def _tile_can_contribute(coefs, tx, ty, tile_w: int, tile_h: int):
+    """Exact tile test against a surfel's contribution region.
+
+    coefs: 13 arrays broadcastable against tx/ty —
+    (ax,ay,az, bx,by,bz, cx,cy,cz, rho_max, d2max, c2dx, c2dy) from
+    ``SurfelScreen.cull`` + the projected center, where
+    k(p) = A + px·B + py·C. A (surfel, tile) pair survives iff some pixel
+    center of the tile satisfies ρ2d ≤ ρ_max (disc) or ρ3d ≤ ρ_max
+    (conic). The conic part checks ρ3d = (kx²+ky²)/kz² at every candidate
+    minimum of the quadratic Q = kx²+ky²−ρ_max·kz² over the rect
+    (4 corners, 4 edge criticals, interior stationary — exhaustive for a
+    quadratic, so the test is exact; ρ evaluation at a critical point is
+    second-order insensitive to f32 location error)."""
+    ax, ay, az, bx, by, bz, cx, cy, cz, rho_max, d2max, c2dx, c2dy = coefs
+    txf = tx.astype(jnp.float32)
+    tyf = ty.astype(jnp.float32)
+    xlo, xhi = txf * tile_w + 0.5, txf * tile_w + (tile_w - 0.5)
+    ylo, yhi = tyf * tile_h + 0.5, tyf * tile_h + (tile_h - 0.5)
+
+    # low-pass disc vs rect (exact)
+    dx = jnp.clip(c2dx, xlo, xhi) - c2dx
+    dy = jnp.clip(c2dy, ylo, yhi) - c2dy
+    hit = dx * dx + dy * dy <= d2max
+
+    # conic: quadratic coefficients of Q in (px, py)
+    A = bx * bx + by * by - rho_max * bz * bz
+    C = cx * cx + cy * cy - rho_max * cz * cz
+    B = 2.0 * (bx * cx + by * cy - rho_max * bz * cz)
+    D = 2.0 * (ax * bx + ay * by - rho_max * az * bz)
+    E = 2.0 * (ax * cx + ay * cy - rho_max * az * cz)
+    thresh = rho_max * 1.001 + 1e-6      # keep marginal pairs (f32 slack)
+
+    def rho_at(px, py):
+        kx = ax + px * bx + py * cx
+        ky = ay + px * by + py * cy
+        kz = az + px * bz + py * cz
+        return (kx * kx + ky * ky) / jnp.maximum(kz * kz, 1e-24)
+
+    safe = lambda q: jnp.where(jnp.abs(q) < 1e-20,
+                               jnp.where(q < 0, -1e-20, 1e-20), q)
+    for px, py in ((xlo, ylo), (xlo, yhi), (xhi, ylo), (xhi, yhi)):
+        hit |= rho_at(px, py) <= thresh
+    for py in (ylo, yhi):                 # dQ/dx = 0 on horizontal edges
+        px = jnp.clip(-(B * py + D) / (2.0 * safe(A)), xlo, xhi)
+        hit |= rho_at(px, py) <= thresh
+    for px in (xlo, xhi):                 # dQ/dy = 0 on vertical edges
+        py = jnp.clip(-(B * px + E) / (2.0 * safe(C)), ylo, yhi)
+        hit |= rho_at(px, py) <= thresh
+    det = safe(4.0 * A * C - B * B)       # interior stationary point
+    px = jnp.clip((B * E - 2.0 * C * D) / det, xlo, xhi)
+    py = jnp.clip((B * D - 2.0 * A * E) / det, ylo, yhi)
+    hit |= rho_at(px, py) <= thresh
+    return hit
+
+
 def bin_surfels_stream(center2d, ext, depth, valid, width: int, height: int,
                        tile_w: int, tile_h: int, dup_capacity: int,
-                       max_tiles_per_surfel: int = 64) -> StreamBinning:
+                       max_tiles_per_surfel: int = 64,
+                       cull=None) -> StreamBinning:
     """center2d [N,2], ext [N,2] per-axis extents, depth [N], valid [N].
 
     ``dup_capacity`` (multiple of S_CHUNK) is the static stream size; on
     overflow the farthest surfels' duplicates are dropped (``overflow``).
+
+    ``cull`` [N, 11] (preprocess ``SurfelScreen.cull``) enables the exact
+    conic tile test: AABB tiles where neither the ρ3d conic nor the
+    low-pass disc can reach α ≥ 1/255 are dropped from the stream
+    (~17% of duplicates on street scenes — the AABB's corner tiles).
+    Exact: the pair condition ρ3d ≤ ρ_max ⟺ Q(p) ≤ 0 for the quadratic
+    Q = kx²+ky²−ρ_max·kz², and min of a quadratic over a rect is attained
+    at a corner, an edge-critical or the interior stationary point — all
+    candidates are evaluated (via the well-conditioned ratio ρ3d, which
+    is second-order insensitive to f32 error in candidate locations).
     """
     tiles_x = -(-width // tile_w)
     tiles_y = -(-height // tile_h)
@@ -87,8 +156,37 @@ def bin_surfels_stream(center2d, ext, depth, valid, width: int, height: int,
     y0 = jnp.clip(jnp.floor((cy - ey) / tile_h), 0, tiles_y - 1).astype(jnp.int32)
     y1 = jnp.clip(jnp.floor((cy + ey) / tile_h), 0, tiles_y - 1).astype(jnp.int32)
     nx = x1 - x0 + 1
-    nt = jnp.where(vf > 0.5,
-                   jnp.minimum(nx * (y1 - y0 + 1), max_tiles_per_surfel), 0)
+    rect_nt = nx * (y1 - y0 + 1)
+    nt = jnp.where(vf > 0.5, jnp.minimum(rect_nt, max_tiles_per_surfel), 0)
+
+    small = None
+    if cull is not None:
+        # -- pre-expansion exact counts: for surfels whose AABB spans at
+        # most CULL_KMAX tiles (the vast majority), test every candidate
+        # tile NOW so culled tiles never enter the duplicate stream at
+        # all — the stream, sort, gather and scatter all shrink ~17%.
+        # The compact passing-tile list (rect order) is built with one
+        # tiny [N, K] lane sort. Wider surfels keep rectangle counts and
+        # are culled post-expansion below.
+        fco = jnp.concatenate([jnp.take(cull, order, axis=0),
+                               jnp.take(center2d, order, axis=0)], axis=1)
+        coefs_k = tuple(fco[:, i:i + 1] for i in range(13))
+        ks = jnp.arange(CULL_KMAX, dtype=jnp.int32)[None, :]
+        nx_safe = jnp.maximum(nx, 1)[:, None]
+        txk = x0[:, None] + ks % nx_safe
+        tyk = y0[:, None] + ks // nx_safe
+        passk = ((ks < rect_nt[:, None])
+                 & _tile_can_contribute(coefs_k, txk, tyk, tile_w, tile_h))
+        small = (rect_nt <= CULL_KMAX) & (vf > 0.5)
+        exact_nt = jnp.sum(passk, axis=1).astype(jnp.int32)
+        nt = jnp.where(small,
+                       jnp.minimum(exact_nt, max_tiles_per_surfel), nt)
+        # compact list: passing tiles first, rect order preserved
+        keys = jnp.where(passk, ks, CULL_KMAX + ks)
+        tids_k = tyk * tiles_x + txk
+        _, tile_list = jax.lax.sort((keys, tids_k), num_keys=1,
+                                    is_stable=True)      # [N, K]
+
     dup_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                  jnp.cumsum(nt).astype(jnp.int32)])
     total = dup_start[-1]
@@ -97,16 +195,35 @@ def bin_surfels_stream(center2d, ext, depth, valid, width: int, height: int,
     marks = jnp.zeros((cap,), jnp.int32).at[dup_start[1:-1]].add(
         1, mode="drop")
     rank = jnp.minimum(jnp.cumsum(marks), n - 1)
-    # fused expansion table: everything indexed by rank in one gather
-    tbl = jnp.stack([x0, y0, jnp.maximum(nx, 1), dup_start[:-1], order],
-                    axis=1)                            # [N, 5] i32
-    g = jnp.take(tbl, rank, axis=0)                   # [cap, 5]
+    # fused expansion table: everything indexed by rank in one gather;
+    # float columns (conic cull) ride along bitcast to i32
+    cols = [x0[:, None], y0[:, None], jnp.maximum(nx, 1)[:, None],
+            dup_start[:-1][:, None], order[:, None]]
+    if cull is not None:
+        cols.append(small[:, None].astype(jnp.int32))
+        cols.append(tile_list)
+        cols.append(jax.lax.bitcast_convert_type(fco, jnp.int32))
+    tbl = jnp.concatenate(cols, axis=1)         # [N, 5(+1+K+13)] i32
+    g = jnp.take(tbl, rank, axis=0)             # [cap, ...]
     slot = jnp.arange(cap, dtype=jnp.int32)
     k = slot - g[:, 3]
     tx = g[:, 0] + k % g[:, 2]
     ty = g[:, 1] + k // g[:, 2]
+    tid = ty * tiles_x + tx
     in_stream = slot < jnp.minimum(total, cap)
-    tile_id = jnp.where(in_stream, ty * tiles_x + tx, sentinel)
+    if cull is not None:
+        is_small = g[:, 5] > 0
+        tid_small = jnp.take_along_axis(
+            g[:, 6:6 + CULL_KMAX], jnp.clip(k, 0, CULL_KMAX - 1)[:, None],
+            axis=1)[:, 0]
+        tid = jnp.where(is_small, tid_small, tid)
+        # wide surfels: post-expansion cull (their rect enumeration stands)
+        fc = jax.lax.bitcast_convert_type(g[:, 6 + CULL_KMAX:], jnp.float32)
+        coefs = tuple(fc[:, i] for i in range(13))
+        wide_ok = _tile_can_contribute(coefs, tid % tiles_x,
+                                       tid // tiles_x, tile_w, tile_h)
+        in_stream &= is_small | wide_ok
+    tile_id = jnp.where(in_stream, tid, sentinel)
     surf_id = jnp.where(in_stream, g[:, 4], n)
 
     # -- stable single-key sort: depth order within each tile is preserved
@@ -116,11 +233,15 @@ def bin_surfels_stream(center2d, ext, depth, valid, width: int, height: int,
         s_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32),
         side="left").astype(jnp.int32)
 
-    # -- visit schedule ([T]-sized math only)
+    # -- visit schedule ([T]-sized math only). Tiles with no duplicates
+    # get ONE empty visit (lane range lo==hi, aliasing the boundary
+    # chunk): the kernel's first-visit init zeroes their output blocks,
+    # so the caller never needs a counts>0 mask over the full [T,PIX,CH]
+    # accumulator (two full-array select passes per direction).
     counts = off[1:] - off[:-1]
     first_chunk = off[:-1] // S_CHUNK
     last_chunk = jnp.maximum(off[1:] - 1, 0) // S_CHUNK
-    nvis_t = jnp.where(counts > 0, last_chunk - first_chunk + 1, 0)
+    nvis_t = jnp.where(counts > 0, last_chunk - first_chunk + 1, 1)
     vstart = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                               jnp.cumsum(nvis_t).astype(jnp.int32)])
     nvis = vstart[-1]

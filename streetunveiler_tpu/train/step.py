@@ -82,9 +82,9 @@ def stage1_loss(state: SurfelState, camera: Camera, gt_image, bg,
     want_sem = gt_semantic is not None and opt.enable_semantic_loss
     extra = (jax.nn.one_hot(state.semantics, 6, dtype=jnp.float32)
              if want_sem else None)
-    # per-class distortion rides the same binning through the fused
-    # multi-gate kernel (one extra blend instead of the reference's 5
-    # whole rasterizations, train.py:94-105)
+    # per-class distortion chains are fused INTO the main blend kernel
+    # (zero extra passes vs the reference's 5 whole rasterizations,
+    # train.py:94-105)
     gates = None
     if want_sem and class_dist:
         from ..renderer import semantic_class_mask

@@ -163,3 +163,56 @@ def test_class_dist_parity(scene):
     for a, b in zip(gf, gs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_conic_cull_drops_corner_tiles(scene):
+    """The exact conic tile test must actually shrink the duplicate
+    stream (guards against it degrading to a no-op) while the parity
+    tests above prove it never drops a contributing pair."""
+    from streetunveiler_tpu.ops.rasterizer.preprocess import \
+        preprocess_surfels
+    from streetunveiler_tpu.ops.rasterizer.tiles import bin_surfels_stream
+    args, w2c, K, st = scene
+    sur = preprocess_surfels(*args, w2c, K, st)
+    sg = jax.lax.stop_gradient
+    cap = 64 * 1024
+    common = (sg(sur.center2d), sg(sur.ext), sg(sur.depth), sur.valid,
+              st.width, st.height, 32, 16, cap, 64)
+    rect = bin_surfels_stream(*common)
+    conic = bin_surfels_stream(*common, cull=sg(sur.cull))
+    n_rect = int(rect.tile_offsets[-1])
+    n_conic = int(conic.tile_offsets[-1])
+    assert n_conic < n_rect * 0.95, (n_rect, n_conic)
+
+
+def test_empty_tiles_zeroed_in_kernel():
+    """Tiles with no duplicates must come back exactly zero (the kernel's
+    empty init-only visit replaces the old counts>0 masking pass) and
+    must not corrupt gradients of the visited region."""
+    args, w2c, K, st = random_scene(n=40, W=128, H=96)
+    # confine every surfel to the top-left quarter of the image
+    means = np.array(args[0])
+    means[:, 0] = -np.abs(means[:, 0]) * 0.5 - 1.0
+    means[:, 1] = -np.abs(means[:, 1]) * 0.5 - 1.0
+    args = (jnp.asarray(means),) + args[1:]
+
+    out = rasterize(*args, w2c, K, st, interpret=True)
+    ref = rasterize_oracle(*args, w2c, K, st)
+    np.testing.assert_allclose(out.color, ref.color, atol=5e-5)
+    np.testing.assert_allclose(out.alpha, ref.alpha, atol=5e-5)
+    # bottom-right quarter has no surfels at all -> exact zeros
+    assert float(jnp.abs(out.color[60:, 80:]).max()) == 0.0
+    assert float(jnp.abs(out.alpha[60:, 80:]).max()) == 0.0
+
+    def loss(p):
+        o = rasterize(p, *args[1:], w2c, K, st, interpret=True)
+        return jnp.sum(o.color ** 2) + jnp.sum(o.alpha)
+
+    def loss_ref(p):
+        o = rasterize_oracle(p, *args[1:], w2c, K, st)
+        return jnp.sum(o.color ** 2) + jnp.sum(o.alpha)
+
+    g = jax.grad(loss)(args[0])
+    gr = jax.grad(loss_ref)(args[0])
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               atol=2e-4, rtol=1e-3)
