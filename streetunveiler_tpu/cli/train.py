@@ -164,7 +164,8 @@ def main(argv=None):
             n_data=args.data_devices, sky_params=sky_params,
             iterations=iterations, start_iteration=start_iteration,
             save_iterations=saves, log_every=args.log_every,
-            duplicate_capacity=dup_cap, seed=args.seed, callback=report,
+            duplicate_capacity=dup_cap, use_semantics=args.semantics,
+            seed=args.seed, callback=report,
             logger=logger, opt_state=opt_state)
     else:
         state, sky_params, _ = train_scene(

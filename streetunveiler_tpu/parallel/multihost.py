@@ -46,20 +46,28 @@ def local_camera_indices(n_cameras: int, mesh: Mesh) -> list[int]:
 
 
 def make_global_batch(mesh: Mesh, w2c_local: np.ndarray, k_local: np.ndarray,
-                      gt_local: np.ndarray):
+                      gt_local: np.ndarray, sem_local=None):
     """Assemble the (possibly multi-host) global camera batch sharded
-    along the mesh 'data' axis; gt is additionally split row-wise over
-    'tile' by the step's shard_map in_specs.
+    along the mesh 'data' axis; gt (and the optional semantic label maps)
+    are additionally split row-wise over 'tile' by the step's shard_map
+    in_specs.
 
     Each host passes ONLY its local cameras; with one process this is a
     plain sharded device_put."""
     spec_cam = NamedSharding(mesh, P("data"))
     spec_gt = NamedSharding(mesh, P("data", "tile"))
     if jax.process_count() <= 1:
-        return (jax.device_put(jnp.asarray(w2c_local), spec_cam),
-                jax.device_put(jnp.asarray(k_local), spec_cam),
-                jax.device_put(jnp.asarray(gt_local), spec_gt))
+        out = (jax.device_put(jnp.asarray(w2c_local), spec_cam),
+               jax.device_put(jnp.asarray(k_local), spec_cam),
+               jax.device_put(jnp.asarray(gt_local), spec_gt))
+        if sem_local is not None:
+            out += (jax.device_put(jnp.asarray(sem_local, jnp.int32),
+                                   spec_gt),)
+        return out
     mk = jax.make_array_from_process_local_data
-    return (mk(spec_cam, np.asarray(w2c_local)),
-            mk(spec_cam, np.asarray(k_local)),
-            mk(spec_gt, np.asarray(gt_local)))
+    out = (mk(spec_cam, np.asarray(w2c_local)),
+           mk(spec_cam, np.asarray(k_local)),
+           mk(spec_gt, np.asarray(gt_local)))
+    if sem_local is not None:
+        out += (mk(spec_gt, np.asarray(sem_local, np.int32)),)
+    return out

@@ -63,13 +63,30 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
                             width: int, height: int,
                             duplicate_capacity: int | None = None,
                             interpret: bool | None = None,
-                            shard_surfels: bool = False):
+                            shard_surfels: bool = False,
+                            semantics: bool = False,
+                            class_dist: bool = False,
+                            sky: bool = False,
+                            sky_lr: float = 1e-4):
     """Build the jitted multi-chip training step.
 
     Step signature:
         step(state, opt_state, w2c [B,4,4], K [B,3,3], gt [B,H,W,3],
-             bg [3], iteration) -> (state, opt_state, metrics)
+             bg [3], iteration[, gt_sem [B,H,W] i32 when semantics])
+            -> (state, opt_state, metrics)
     B must be a multiple of mesh 'data'; H a multiple of 16·'tile'.
+
+    ``semantics``/``class_dist`` compile the full late-phase stage-1
+    executable into the sharded step (semantic CE over fused payload
+    channels + the fused per-class gated distortion, train/step.py
+    ``stage1_loss``): slab means of CE / per-class distortion equal the
+    global means (equal slab sizes), so the sharded losses match the
+    single-chip step exactly.
+
+    ``sky`` trains the env-map jointly (train.py:114-115,196-200): the
+    step takes/returns (sky_params, sky_opt_state); each slab renders its
+    rows of the sky through the same shifted principal point, and the
+    replicated sky gradients are pmean'd with the surfel gradients.
 
     ``shard_surfels``: ZeRO-style memory scaling for 5M+ surfel scenes
     (BASELINE config 5): parameters, Adam moments, and densification stats
@@ -78,6 +95,9 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
     gradients back to shards, and applies Adam on the local shard only.
     Requires capacity % mesh.shape['data'] == 0.
     """
+    assert not (sky and shard_surfels), (
+        "joint sky training is not wired into the surfel-sharded (ZeRO) "
+        "step; train the sky on the replicated path")
     n_tile = mesh.shape["tile"]
     slab = height // n_tile
     assert slab * n_tile == height and slab % TILE_H == 0, (
@@ -98,17 +118,32 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
             return full
         return -(-(2 * full // n_tile) // 128) * 128
 
-    def local_loss(params, aux_state, w2c, K, gt_slab, bg, iteration, row0,
-                   c2d_off):
+    def local_loss(params, aux_state, w2c, K, gt_slab, gt_sem_slab, bg,
+                   iteration, row0, c2d_off, sky_p):
         state = dataclasses.replace(aux_state, params=params)
         # shifting the principal point by the slab row is an exact crop
-        cam = Camera(w2c=w2c, K=K.at[1, 2].add(-row0.astype(jnp.float32)),
-                     width=width, height=slab)
+        Kslab = K.at[1, 2].add(-row0.astype(jnp.float32))
+        cam = Camera(w2c=w2c, K=Kslab, width=width, height=slab)
         active_sh = jnp.minimum(iteration // 1000, state.sh_degree)
+        extra = gates = None
+        if semantics:
+            extra = jax.nn.one_hot(state.semantics, 6, dtype=jnp.float32)
+        if semantics and class_dist:
+            from ..renderer import semantic_class_mask
+            from ..utils.semantics import CONCERNED_IND as _CI
+            gates = jnp.stack(
+                [semantic_class_mask(state, 1 << ci, reverse=True)
+                 for ci in range(6) if ci != _CI["sky"]], axis=1)
         res = render(cam, state, bg, active_sh_degree=active_sh,
                      center2d_offset=c2d_off, interpret=interpret,
-                     duplicate_capacity=slab_capacity(params.xyz.shape[0]))
+                     duplicate_capacity=slab_capacity(params.xyz.shape[0]),
+                     extra_payload=extra, class_gates=gates)
         image = res.render
+        if sky:
+            from ..models.sky import render_sky
+            c2w = jnp.linalg.inv(w2c)
+            sky_img = render_sky(sky_p, slab, width, Kslab, c2w)
+            image = image + sky_img * (1.0 - res.rend_alpha)[..., None]
         ll1 = l1_loss(image, gt_slab)
         lssim = ssim(image, gt_slab)
         loss = (1 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1 - lssim)
@@ -119,61 +154,89 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
         lambda_dist = jnp.where(iteration > opt.semantic_dist_from_iter,
                                 opt.lambda_dist, 0.0)
         loss = loss + lambda_dist * jnp.mean(res.rend_dist)
+        if semantics:
+            from ..train.step import semantic_ce_loss
+            from ..utils.semantics import CONCERNED_IND as _CI2
+            sky_prior = jax.nn.one_hot(_CI2["sky"], 6, dtype=jnp.float32)
+            probs = res.extra + sky_prior * (1.0 - res.rend_alpha)[..., None]
+            loss = loss + opt.semantic_loss_ratio * semantic_ce_loss(
+                probs, gt_sem_slab)
+            if class_dist:
+                loss = loss + opt.lambda_dist * jnp.sum(
+                    jnp.mean(res.class_dist, axis=(0, 1)))
         return loss, (image, res.radii)
 
-    def sharded_grads(params, aux_state, w2c_b, k_b, gt_b, bg, iteration):
+    def sharded_grads(params, aux_state, w2c_b, k_b, gt_b, gt_sem_b, bg,
+                      iteration, sky_p=None):
         """Runs per-device: local camera batch × local slab."""
         row0 = jax.lax.axis_index("tile") * slab
         zeros2d = jnp.zeros((params.xyz.shape[0], 2))
+        argnums = (0, 9, 10) if sky else (0, 9)
 
-        def one_cam(w2c, K, gt_slab):
+        def one_cam(w2c, K, gt_slab, gt_sem_slab):
             (loss, aux), grads = jax.value_and_grad(
-                local_loss, argnums=(0, 8), has_aux=True)(
-                params, aux_state, w2c, K, gt_slab, bg, iteration, row0,
-                zeros2d)
+                local_loss, argnums=argnums, has_aux=True)(
+                params, aux_state, w2c, K, gt_slab, gt_sem_slab, bg,
+                iteration, row0, zeros2d, sky_p)
             return loss, grads, aux
 
-        loss, grads, (img, radii) = jax.vmap(one_cam)(w2c_b, k_b, gt_b)
+        if gt_sem_b is None:
+            gt_sem_b = jnp.zeros(gt_b.shape[:3], jnp.int32)
+        loss, grads, (img, radii) = jax.vmap(one_cam)(w2c_b, k_b, gt_b,
+                                                      gt_sem_b)
         nb = w2c_b.shape[0]
         loss = jax.lax.pmean(jnp.mean(loss), ("data", "tile"))
         sum_b = lambda g: jnp.sum(g, axis=0) / nb
-        pg, sg = jax.tree.map(sum_b, grads)
-        pg = jax.lax.pmean(pg, ("data", "tile"))
-        sg = jax.lax.pmean(sg, ("data", "tile"))
+        grads = jax.tree.map(sum_b, grads)
+        grads = jax.lax.pmean(grads, ("data", "tile"))
+        pg, sg = grads[0], grads[1]
+        skg = grads[2] if sky else None
         vis = jax.lax.pmax(jnp.max(jnp.where(radii > 0, radii, 0.0), axis=0),
                            ("data", "tile"))
-        return loss, pg, sg, vis
+        return loss, pg, sg, vis, skg
 
     @functools.partial(jax.jit, static_argnames=())
     def step(state: SurfelState, opt_state: AdamState, w2c_b, k_b, gt_b,
-             bg, iteration):
+             bg, iteration, gt_sem_b=None, sky_params=None,
+             sky_opt_state=None):
         fn = shard_map(
             sharded_grads,
             mesh=mesh,
             in_specs=(P(), P(), P("data"), P("data"),
-                      P("data", "tile", None, None), P(), P()),
-            out_specs=(P(), P(), P(), P()),
+                      P("data", "tile", None, None),
+                      P() if gt_sem_b is None else P("data", "tile", None),
+                      P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
             check_vma=False,
         )
-        loss, pgrads, sgrads, radii = fn(
-            state.params, state, w2c_b, k_b, gt_b, bg, iteration)
+        loss, pgrads, sgrads, radii, skg = fn(
+            state.params, state, w2c_b, k_b, gt_b, gt_sem_b, bg, iteration,
+            sky_params)
 
         lrs = make_lrs(opt, iteration, state.spatial_scale)
         new_params, opt_state = adam_update(pgrads, opt_state, state.params,
                                             lrs)
         state = dataclasses.replace(state, params=new_params)
+        if sky:
+            sky_lrs = jax.tree.map(lambda _: jnp.float32(sky_lr),
+                                   sky_params)
+            sky_params, sky_opt_state = adam_update(
+                skg, sky_opt_state, sky_params, sky_lrs, eps=1e-8)
         visible = (radii > 0) & (iteration < opt.densify_until_iter)
         state = add_densification_stats(state, sgrads, radii, visible)
+        if sky:
+            return (state, opt_state, sky_params, sky_opt_state,
+                    dict(loss=loss))
         return state, opt_state, dict(loss=loss)
 
     def zero_sharded(params_shard, mu_shard, nu_shard, aux_state,
-                     w2c_b, k_b, gt_b, bg, iteration, step_count):
+                     w2c_b, k_b, gt_b, gt_sem_b, bg, iteration, step_count):
         """Per-device body with surfel-sharded parameters/moments."""
         gather = lambda leaf: jax.lax.all_gather(leaf, "data", axis=0,
                                                  tiled=True)
         params = jax.tree.map(gather, params_shard)
-        loss, pgrads, sgrads, radii = sharded_grads(
-            params, aux_state, w2c_b, k_b, gt_b, bg, iteration)
+        loss, pgrads, sgrads, radii, _ = sharded_grads(
+            params, aux_state, w2c_b, k_b, gt_b, gt_sem_b, bg, iteration)
         # pgrads are identical on every device after the pmean; keep only
         # this device's shard of them (reduce-scatter equivalent)
         nd = jax.lax.axis_size("data")
@@ -191,15 +254,16 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
 
     @functools.partial(jax.jit, static_argnames=())
     def step_zero(state: SurfelState, opt_state: AdamState, w2c_b, k_b,
-                  gt_b, bg, iteration):
+                  gt_b, bg, iteration, gt_sem_b=None):
         """state.params / opt moments / densify stats enter SHARDED along
         the surfel axis (place them with surfel_sharding(mesh))."""
         fn = shard_map(
             zero_sharded,
             mesh=mesh,
             in_specs=(P("data"), P("data"), P("data"), P(), P("data"),
-                      P("data"), P("data", "tile", None, None), P(), P(),
-                      P()),
+                      P("data"), P("data", "tile", None, None),
+                      P() if gt_sem_b is None else P("data", "tile", None),
+                      P(), P(), P()),
             out_specs=(P(), P("data"), P("data"), P("data"), P("data"),
                        P("data")),
             check_vma=False,
@@ -212,7 +276,7 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
             state, params=jax.tree.map(lambda l: l[:0], state.params))
         loss, new_params, mu, nu, sgrads, radii = fn(
             state.params, opt_state.mu, opt_state.nu, aux, w2c_b, k_b,
-            gt_b, bg, iteration, opt_state.step)
+            gt_b, gt_sem_b, bg, iteration, opt_state.step)
         opt_state = AdamState(step=opt_state.step + 1, mu=mu, nu=nu)
         state = dataclasses.replace(state, params=new_params)
         visible = (radii > 0) & (iteration < opt.densify_until_iter)

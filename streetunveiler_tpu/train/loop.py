@@ -219,15 +219,18 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
                         save_iterations=(), log_every: int = 200,
                         duplicate_capacity: Optional[int] = None,
                         shard_surfels: bool = False, seed: int = 0,
-                        callback=None, logger=None, opt_state=None):
+                        callback=None, logger=None, opt_state=None,
+                        use_semantics: bool = False):
     """Multi-chip stage-1 loop over a (data × tile) device mesh
     (SURVEY.md §2.4, BASELINE configs 3/5).
 
     Each step consumes a batch of ``n_data`` cameras, every device
     rasterizing its row slab of the image; surfel grads are pmean'd over
-    the mesh and densify/prune run replicated between steps. The semantic
-    losses are not yet in the sharded executable (single-chip path covers
-    them); photometric + normal + distortion match ``train_step``.
+    the mesh and densify/prune run replicated between steps. With
+    ``use_semantics`` (label maps from ``scene.train_semantics``) the
+    sharded executable carries the full stage-1 loss set — semantic CE +
+    fused per-class distortion past ``semantic_dist_from_iter`` —
+    matching the single-chip ``train_step`` exactly.
     """
     from ..parallel.shard import make_mesh, make_sharded_train_step
     iterations = iterations or opt.iterations
@@ -243,9 +246,25 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
         opt_state = init_optimizer(state)
 
     mesh = make_mesh(n_data, n_tile)
+    use_sem = (use_semantics and opt.enable_semantic_loss
+               and getattr(scene, "train_semantics", None) is not None
+               and all(s is not None for s in scene.train_semantics))
+    use_sky = sky_params is not None and not shard_surfels
+    sky_opt_state = None
+    if use_sky:
+        from ..train.optim import adam_init
+        sky_opt_state = adam_init(sky_params)
     step = make_sharded_train_step(mesh, opt, w, h,
                                    duplicate_capacity=duplicate_capacity,
-                                   shard_surfels=shard_surfels)
+                                   shard_surfels=shard_surfels,
+                                   semantics=use_sem, sky=use_sky)
+    step_late = (make_sharded_train_step(
+        mesh, opt, w, h, duplicate_capacity=duplicate_capacity,
+        shard_surfels=shard_surfels, semantics=True, class_dist=True,
+        sky=use_sky)
+        if use_sem else step)
+    sem_all = (np.stack([np.asarray(s) for s in scene.train_semantics])
+               if use_sem else None)
     if shard_surfels:
         from ..parallel.shard import surfel_sharding
         sh = surfel_sharding(mesh)
@@ -281,10 +300,24 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
         # global batch; make_global_batch assembles the sharded arrays
         lo = jax.process_index() * per_proc
         bidx = np.asarray(batch[lo:lo + per_proc] if n_proc > 1 else batch)
-        w2c_b, k_b, gt_b = make_global_batch(mesh, w2c_all[bidx],
-                                             k_all[bidx], gt_all[bidx])
-        state, opt_state, metrics = step(
-            state, opt_state, w2c_b, k_b, gt_b, bg, jnp.asarray(iteration))
+        if use_sem:
+            w2c_b, k_b, gt_b, sem_b = make_global_batch(
+                mesh, w2c_all[bidx], k_all[bidx], gt_all[bidx],
+                sem_all[bidx])
+        else:
+            w2c_b, k_b, gt_b = make_global_batch(mesh, w2c_all[bidx],
+                                                 k_all[bidx], gt_all[bidx])
+            sem_b = None
+        stp = (step_late if use_sem
+               and iteration > opt.semantic_dist_from_iter else step)
+        if use_sky:
+            state, opt_state, sky_params, sky_opt_state, metrics = stp(
+                state, opt_state, w2c_b, k_b, gt_b, bg,
+                jnp.asarray(iteration), sem_b, sky_params, sky_opt_state)
+        else:
+            state, opt_state, metrics = stp(
+                state, opt_state, w2c_b, k_b, gt_b, bg,
+                jnp.asarray(iteration), sem_b)
         window_iters += 1
 
         if iteration < opt.densify_until_iter:

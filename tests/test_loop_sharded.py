@@ -53,3 +53,36 @@ def test_make_global_batch_single_process():
     assert wb.shape == (2, 4, 4) and gb.shape == (2, 64, 64, 3)
     # data axis sharded over 'data', image rows over 'tile'
     assert len(local_camera_indices(10, mesh)) == 10  # single process
+
+
+def test_train_scene_sharded_full_executable():
+    """Sharded loop with the complete stage-1 loss set: semantic CE +
+    fused per-class distortion (late phase) + joint sky training."""
+    from streetunveiler_tpu.config import OptimizationParams
+    from streetunveiler_tpu.models.sky import init_sky
+    from streetunveiler_tpu.scene.readers import make_synthetic_street
+    from streetunveiler_tpu.scene.scene import Scene
+    from streetunveiler_tpu.train.loop import train_scene_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+
+    info = make_synthetic_street(n_points=400, n_cameras=4, width=64,
+                                 height=32, focal=40.0, seed=2)
+    scene = Scene(info)
+    state = scene.create_state(capacity=512)
+    # flip to the late phase immediately so class_dist compiles + runs
+    opt = OptimizationParams(densify_from_iter=10_000,
+                             semantic_dist_from_iter=2)
+    sky = init_sky(jax.random.PRNGKey(0))
+
+    reports = []
+    state2, sky2, reps = train_scene_sharded(
+        scene, state, opt, n_tile=2, n_data=2, iterations=6, log_every=3,
+        sky_params=sky, use_semantics=True, callback=reports.append)
+    losses = [r.loss for r in reps]
+    assert np.isfinite(losses).all()
+    # sky params trained jointly
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()) > 0, sky, sky2)
+    assert any(jax.tree.leaves(moved))

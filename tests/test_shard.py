@@ -100,3 +100,42 @@ def test_slab_ssim_approximation_bound():
            for i in range(n_slab)]
     approx = float(np.mean(per))
     assert abs(full - approx) < 0.01, (full, approx)
+
+
+def test_sharded_semantic_step_matches_single_chip_loss():
+    """The full late-phase executable (semantic CE + fused per-class
+    distortion) in the SHARDED step must reproduce the single-chip
+    ``stage1_loss`` exactly: slab means of CE / per-class distortion
+    equal the global means for equal slabs, and SSIM differs only by the
+    documented per-slab windowing (compare with the same slab split)."""
+    from streetunveiler_tpu.train.step import stage1_loss
+
+    state, K, W, H = setup(n=60)
+    opt = OptimizationParams()
+    mesh = make_mesh(1, 2)         # 2 row slabs, single data replica
+    step = make_sharded_train_step(mesh, opt, W, H, semantics=True,
+                                   class_dist=True)
+    opt_state = init_optimizer(state)
+    rng = np.random.default_rng(7)
+    gt = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)), jnp.float32)
+    gt_sem = jnp.asarray(rng.integers(0, 6, (1, H, W)), jnp.int32)
+    w2c = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+    Kb = jnp.broadcast_to(K, (1, 3, 3))
+    bg = jnp.zeros(3)
+    it = jnp.asarray(opt.semantic_dist_from_iter + 1)
+
+    _, _, m = step(state, opt_state, w2c, Kb, gt, bg, it, gt_sem)
+    sharded_loss = float(m["loss"])
+
+    # single-chip equivalent, evaluated per slab to match the SSIM split
+    slab = H // 2
+    tot = 0.0
+    for i in range(2):
+        cam = Camera(w2c=jnp.eye(4), K=K.at[1, 2].add(-float(i * slab)),
+                     width=W, height=slab)
+        loss, _ = stage1_loss(state, cam, gt[0, i * slab:(i + 1) * slab],
+                              bg, it, opt,
+                              gt_semantic=gt_sem[0, i * slab:(i + 1) * slab],
+                              class_dist=True)
+        tot += float(loss)
+    np.testing.assert_allclose(sharded_loss, tot / 2, rtol=2e-4)
