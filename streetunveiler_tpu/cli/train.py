@@ -62,8 +62,15 @@ def main(argv=None):
                     help="write a jax.profiler trace of 3 warm steps to "
                          "<model_path>/logs/profile before training")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--detect_anomaly", action="store_true",
+                    help="raise on NaN in any jitted computation "
+                         "(reference train.py:310,325 "
+                         "torch.autograd.set_detect_anomaly)")
     args, rest = ap.parse_known_args(argv)
 
+    if args.detect_anomaly:
+        import jax
+        jax.config.update("jax_debug_nans", True)
     if args.multihost:
         import jax
         jax.distributed.initialize()
