@@ -108,6 +108,15 @@ def _mm(a, b):
         precision=jax.lax.Precision.DEFAULT)
 
 
+def _sexcl2_mat(s, dtype=jnp.float32):
+    """Block-diagonal strict-suffix matrix [2S,2S]: two independent [S,S]
+    'sexcl' blocks, so ONE matmul computes suffix counts for two masks
+    stacked along the lane axis (used by the last-contributor trick)."""
+    jj = jax.lax.broadcasted_iota(jnp.int32, (2 * s, 2 * s), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (2 * s, 2 * s), 1)
+    return (((jj // s) == (ii // s)) & ((jj % s) > (ii % s))).astype(dtype)
+
+
 def _mm_precise(a, b):
     """f32-faithful [P,S]@[S,S] from 2 DEFAULT passes on a hi/lo split.
 
@@ -210,9 +219,12 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
         # the chunk for a live pixel, so every contributing pair at or
         # after the first trigger has t_after < T_EPS itself (the oracle's
         # cumulative-trigger formulation is equivalent; parity-tested).
+        # trigger via a SUM reduction: Mosaic lowers lane-wide max/any
+        # reductions pathologically (measured ~half the whole kernel across
+        # med/lk/trigger, tools/bisect_fwd.py); sums are fast.
         keep = (a > 0.0) & (t_after >= T_EPS) & jnp.logical_not(done)
-        trigger_any = jnp.any((a > 0.0) & (t_after < T_EPS), axis=1,
-                              keepdims=True)
+        trigf = jnp.where((a > 0.0) & (t_after < T_EPS), 1.0, 0.0)
+        trigger_any = jnp.sum(trigf, axis=1, keepdims=True) > 0.5
         w = jnp.where(keep, a * t_excl, 0.0)
 
         cn = acc[:, 0:nq] + _payload_sums(w, qc, nq)    # [P, nq]
@@ -224,23 +236,30 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
         m1 = acc[:, nq + 3:nq + 4] + jnp.sum(wm, axis=1, keepdims=True)
         m2 = acc[:, nq + 4:nq + 5] + jnp.sum(wm * m, axis=1, keepdims=True)
 
-        # Max-reductions run in f32: Mosaic lowers int32 lane-wide max
-        # reductions ~14x slower than f32 (measured in tools/bisect_fwd.py:
-        # these two blocks in int32 cost ~4us/visit EACH, 2/3 of the whole
-        # kernel; in f32 the full kernel runs 3x faster). All values here
-        # are integers < 2^24, exact in f32.
+        # Last-contributor extraction (median depth + lk) WITHOUT lane-max
+        # reductions: Mosaic lowers lane-wide max reductions pathologically
+        # (f32 maxes here measured ~half the whole kernel,
+        # tools/bisect_fwd.py full vs full_suffmm: 92 → 44 ms). Instead,
+        # ONE block-diagonal suffix-count matmul marks each mask's LAST
+        # set lane (strict-suffix count == 0); 0/1 operands are exact in
+        # bf16 and the counts (< 2S) accumulate exactly in f32, so this is
+        # numerically identical to the max formulation.
         iota_f = iota_s.astype(jnp.float32)
         cand = (w > 0.0) & (t_excl > MEDIAN_T)
-        bestf = jnp.max(jnp.where(cand, iota_f, -1.0), axis=1,
-                        keepdims=True)
-        onehot = (iota_f == bestf) & cand
-        med = jnp.where(bestf >= 0,
-                        jnp.sum(jnp.where(onehot, tdep, 0.0), axis=1,
-                                keepdims=True), acc[:, nq + 5:nq + 6])
+        both = jnp.concatenate(
+            [cand.astype(jnp.float32), keep.astype(jnp.float32)], axis=1)
+        suff = _mm(both, _sexcl2_mat(s))
+        lastc = jnp.where(cand & (suff[:, 0:s] < 0.5), 1.0, 0.0)
+        lastk = jnp.where(keep & (suff[:, s:2 * s] < 0.5), 1.0, 0.0)
+        anyc = jnp.sum(lastc, axis=1, keepdims=True)
+        med = jnp.where(anyc > 0.5,
+                        jnp.sum(lastc * tdep, axis=1, keepdims=True),
+                        acc[:, nq + 5:nq + 6])
 
-        gidxf = (chunk_of_ref[v] * s).astype(jnp.float32) + iota_f
-        lkf = jnp.max(jnp.where(keep, gidxf, -1.0), axis=1, keepdims=True)
-        lk_ref[0] = jnp.maximum(lk_ref[0], lkf.astype(jnp.int32))
+        anyk = jnp.sum(lastk, axis=1, keepdims=True)
+        lklane = jnp.sum(lastk * iota_f, axis=1, keepdims=True)
+        lknew = chunk_of_ref[v] * s + lklane.astype(jnp.int32)
+        lk_ref[0] = jnp.where(anyk > 0.5, lknew, lk_ref[0])
 
         kept_logom = jnp.where(keep, logom, 0.0)
         t_out = t_carry * jnp.exp(jnp.sum(kept_logom, axis=1, keepdims=True))
@@ -258,8 +277,9 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
         # (street classes are spatially clustered).
         if G:
             gates = _gate_bits(chunk[gate_row:gate_row + 1, :], G)
+            start_f = (chunk_of_ref[v] * s).astype(jnp.float32)
             for g in range(G):
-                has = jnp.max(jnp.where(inr, gates[g], 0.0)) > 0.5
+                has = jnp.sum(jnp.where(inr, gates[g], 0.0)) > 0.5
 
                 @pl.when(has)
                 def _(g=g):
@@ -272,7 +292,7 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
                     tg_after = tg_excl * (1.0 - ag)
                     keep_g = ((ag > 0.0) & (tg_after >= T_EPS)
                               & jnp.logical_not(done_g))
-                    trig_g = jnp.max(
+                    trig_g = jnp.sum(
                         jnp.where((ag > 0.0) & (tg_after < T_EPS), 1.0, 0.0),
                         axis=1, keepdims=True) > 0.5
                     wg = jnp.where(keep_g, ag * tg_excl, 0.0)
@@ -287,10 +307,16 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
                     acc_ref[0, :, c0 + 2:c0 + 3] = (
                         acc_ref[0, :, c0 + 2:c0 + 3]
                         + jnp.sum(wgm * m, axis=1, keepdims=True))
-                    lkg = jnp.max(jnp.where(keep_g, gidxf, -1.0), axis=1,
-                                  keepdims=True)
-                    acc_ref[0, :, c0 + 3:c0 + 4] = jnp.maximum(
-                        acc_ref[0, :, c0 + 3:c0 + 4], lkg)
+                    # last-kept lane via suffix-count matmul (no lane max —
+                    # see the main chain's med/lk comment)
+                    suffg = _mm(jnp.where(keep_g, 1.0, 0.0),
+                                _prefix_mat(s, "sexcl"))
+                    lastg = jnp.where(keep_g & (suffg < 0.5), 1.0, 0.0)
+                    anyg = jnp.sum(lastg, axis=1, keepdims=True)
+                    lgl = jnp.sum(lastg * iota_f, axis=1, keepdims=True)
+                    acc_ref[0, :, c0 + 3:c0 + 4] = jnp.where(
+                        anyg > 0.5, start_f + lgl,
+                        acc_ref[0, :, c0 + 3:c0 + 4])
                     kept_lg = jnp.where(keep_g, logom_g, 0.0)
                     state_ref[:, 2 + g:3 + g] = tg_carry * jnp.exp(
                         jnp.sum(kept_lg, axis=1, keepdims=True))
@@ -299,11 +325,13 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
 
         # done-flag doubles as the tile-wide skip sentinel (2.0) — only
         # once the main chain AND every gated chain are finished
+        # (sum-based all(): see the med/lk reduction comment)
         done_f = done.astype(jnp.float32)
-        every = jnp.all(done)
+        every = jnp.sum(done_f) > PIX - 0.5
         if G:
             every = jnp.logical_and(
-                every, jnp.min(state_ref[:, 2 + G:2 + 2 * G]) > 0.5)
+                every,
+                jnp.sum(state_ref[:, 2 + G:2 + 2 * G]) > PIX * G - 0.5)
         state_ref[:, 1:2] = jnp.where(every, done_f + 1.0, done_f)
 
 

@@ -172,7 +172,7 @@ def make_kernel(variant, tiles_x, znear, zfar):
                 m1 = acc[:, 9:10] + sums[:, NQ + 2:NQ + 3]
                 m2 = acc[:, 10:11] + sums[:, NQ + 3:NQ + 4]
             else:
-                cn = acc[:, 0:NQ] + _payload_sums(w, qc)
+                cn = acc[:, 0:NQ] + _payload_sums(w, qc, NQ)
                 alpha = acc[:, 6:7] + jnp.sum(w, axis=1, keepdims=True)
                 deptha = acc[:, 7:8] + jnp.sum(w * tdep, axis=1,
                                                keepdims=True)

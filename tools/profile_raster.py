@@ -105,6 +105,22 @@ def main():
     print(f"pre+bin+gatherT      {timeit(loopify(s_gather))*1e3:8.2f} ms",
           flush=True)
 
+    # ---- stage: + blend kernel (no image assembly)
+    def s_kern(eps):
+        sur = preprocess_surfels(args[0] + eps, *args[1:], w2c, K, st)
+        sg = jax.lax.stop_gradient
+        b = bin_surfels_stream(sg(sur.center2d), sg(sur.ext), sg(sur.depth),
+                               sur.valid, W, H, TILE_W, TILE_H, dup_cap, 64,
+                               cull=sg(sur.cull))
+        recT = jnp.take(pack_geometry_T(sur, n), b.sorted_surfel, axis=1)
+        acc, lk = blend_stream(recT, b.tile_of_visit, b.chunk_of_visit,
+                               b.first_of_tile, b.last_of_tile, b.init_rev,
+                               b.lane_lo, b.lane_hi,
+                               b.tiles_x * b.tiles_y, b.tiles_x, st, False)
+        return jnp.sum(acc) * 1e-12
+    print(f"pre+bin+gather+kernel{timeit(loopify(s_kern))*1e3:8.2f} ms",
+          flush=True)
+
     # ---- stage: full forward
     def s_fwd(eps):
         out = rasterize(args[0] + eps, *args[1:], w2c, K, st, bg=bg,
@@ -112,6 +128,29 @@ def main():
         return jnp.sum(out.color) * 1e-12
     print(f"full forward         {timeit(loopify(s_fwd))*1e3:8.2f} ms",
           flush=True)
+
+    # ---- stage: fwd+bwd through gather+kernel only (no assembly/loss)
+    def kern_loss(p, *rest):
+        sur = preprocess_surfels(p, *rest, w2c, K, st)
+        sg = jax.lax.stop_gradient
+        b = bin_surfels_stream(sg(sur.center2d), sg(sur.ext), sg(sur.depth),
+                               sur.valid, W, H, TILE_W, TILE_H, dup_cap, 64,
+                               cull=sg(sur.cull))
+        recT = jnp.take(pack_geometry_T(sur, n), b.sorted_surfel, axis=1)
+        acc, lk = blend_stream(recT, b.tile_of_visit, b.chunk_of_visit,
+                               b.first_of_tile, b.last_of_tile, b.init_rev,
+                               b.lane_lo, b.lane_hi,
+                               b.tiles_x * b.tiles_y, b.tiles_x, st, False)
+        return jnp.sum(acc ** 2)
+    kgfn = jax.grad(kern_loss, argnums=(0,))
+
+    @jax.jit
+    def s_kgrad_full():
+        def body(i, m):
+            return m + 1e-12 * kgfn(m, *args[1:])[0]
+        return jax.lax.fori_loop(0, iters, body, args[0])
+    t_kg = timeit(s_kgrad_full)
+    print(f"fwd+bwd no-assembly  {t_kg*1e3:8.2f} ms", flush=True)
 
     # ---- stage: full fwd+bwd (the bench's measurement)
     def loss(p, *rest):
