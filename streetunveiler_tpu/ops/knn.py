@@ -4,9 +4,11 @@
 The reference uses ``dist3knn`` once at init (mean *squared* distance to the
 3 nearest points, ``scene/gaussian_model.py:151``) and
 ``meanDistFromReferencePcd`` in the unveiling stage-B mask expansion. Both
-are throughput-uncritical, host-side computations, so the idiomatic
-implementation is a KD-tree on CPU (numpy in, numpy out); a blocked
-brute-force jnp fallback exists for small device-resident queries.
+are host-side computations; the primary path is the native C++ KD-tree
+(``streetunveiler_tpu.native``, OpenMP-parallel — the reference's own KNN is
+the native simple-knn CUDA submodule), with a scipy fallback when no
+compiler is present and a blocked brute-force jnp variant for small
+device-resident queries.
 """
 
 from __future__ import annotations
@@ -17,11 +19,16 @@ from scipy.spatial import cKDTree
 import jax
 import jax.numpy as jnp
 
+from .. import native
+
 
 def mean_sq_dist_to_3nn(points: np.ndarray) -> np.ndarray:
     """Per-point mean squared distance to the 3 nearest neighbors
     (reference ``dist3knn``)."""
     points = np.asarray(points, np.float32)
+    out = native.knn_mean_sq_dist3(points)
+    if out is not None:
+        return out
     tree = cKDTree(points)
     d, _ = tree.query(points, k=4)        # first neighbor is the point itself
     return np.mean(d[:, 1:] ** 2, axis=1).astype(np.float32)
@@ -32,6 +39,10 @@ def mean_dist_to_reference(query: np.ndarray, reference: np.ndarray,
     """Per-query mean distance to the k nearest reference points
     (reference ``meanDistFromReferencePcd`` contract, used by
     ``2_generate_inpainted_mask.py:71-73``)."""
+    out = native.knn_mean_dist_ref(np.asarray(query, np.float32),
+                                   np.asarray(reference, np.float32), k)
+    if out is not None:
+        return out
     tree = cKDTree(np.asarray(reference, np.float32))
     d, _ = tree.query(np.asarray(query, np.float32), k=k)
     return np.mean(d, axis=1).astype(np.float32)

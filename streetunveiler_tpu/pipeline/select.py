@@ -16,6 +16,7 @@ from typing import NamedTuple
 import numpy as np
 from scipy.spatial import cKDTree
 
+from .. import native
 from ..models.gaussians import SurfelState
 
 CLUSTER_THRESHOLD = 7e-2     # reference 1_instance_visualization.py:28
@@ -57,24 +58,26 @@ def cluster_semantic_instance(state: SurfelState, class_bits: int,
     if threshold is None:
         threshold = auto_cluster_threshold(xyz)
 
-    tree = cKDTree(xyz)
-    pairs = tree.query_pairs(threshold, output_type="ndarray")
+    roots = native.cluster_radius(xyz.astype(np.float32), float(threshold))
+    if roots is None:
+        tree = cKDTree(xyz)
+        pairs = tree.query_pairs(threshold, output_type="ndarray")
 
-    parent = np.arange(xyz.shape[0])
+        parent = np.arange(xyz.shape[0])
 
-    def find(a):
-        root = a
-        while parent[root] != root:
-            root = parent[root]
-        while parent[a] != root:
-            parent[a], a = root, parent[a]
-        return root
+        def find(a):
+            root = a
+            while parent[root] != root:
+                root = parent[root]
+            while parent[a] != root:
+                parent[a], a = root, parent[a]
+            return root
 
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    roots = np.array([find(i) for i in range(xyz.shape[0])])
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(xyz.shape[0])])
 
     uniq, inv, counts = np.unique(roots, return_inverse=True,
                                   return_counts=True)

@@ -32,6 +32,13 @@ def voxel_down_sample(pc: SemanticPointCloud, voxel_size: float,
     pts = np.asarray(pc.points, np.float64)
     if pts.shape[0] == 0:
         return pc
+
+    from .. import native
+    nat = native.voxel_downsample(pc.points, pc.colors, pc.semantics,
+                                  float(voxel_size), float(agreement))
+    if nat is not None:
+        return SemanticPointCloud(points=nat[0], colors=nat[1],
+                                  semantics=nat[2])
     keys = np.floor(pts / voxel_size).astype(np.int64)
     lo = keys.min(axis=0)
     keys = keys - lo
