@@ -419,22 +419,18 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
         m = map_depth(tdep, znear, zfar)
         dmdt = (zfar * znear / (zfar - znear)) / jnp.maximum(
             tdep * tdep, 1e-12)
-        # Low-rank payload contraction: at the default nq=6 the VPU
-        # outer-product loop wins (the MXU pads the contraction dim to
-        # 128 and charges for it); for fused semantic payloads (nq=12+)
-        # ONE padded matmul beats nq [P,S] FMAs. Single-pass DEFAULT
-        # matches the gradient-precision standard already set by
-        # ``ssuf_pair``'s ``_mm`` below (one bf16 rounding per operand).
-        # Distortion cotangents arrive folded into galpha/gm1/gm2.
-        if nq <= 8:
-            gq_qc = jnp.zeros_like(a)
-            for kk in range(nq):
-                gq_qc = gq_qc + gq[:, kk:kk + 1] * qc[kk:kk + 1, :]
-        else:
-            gq_qc = jax.lax.dot_general(
-                gq, qc, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
+        # Low-rank payload contraction on the MXU: the pad-to-128 charge
+        # is cheaper than nq [P,S] VPU FMAs at every nq (the MXU sits
+        # mostly idle while the VPU is the kernel's bottleneck —
+        # tools/bisect_bwd.py no_gqqc: ~10ms of 65 for the VPU loop).
+        # Single-pass DEFAULT matches the gradient-precision standard
+        # already set by ``ssuf_pair``'s ``_mm`` below (one bf16 rounding
+        # per operand). Distortion cotangents arrive folded into
+        # galpha/gm1/gm2.
+        gq_qc = jax.lax.dot_general(
+            gq, qc, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
         omega = gq_qc + galpha + gdepth * tdep + gm1 * m + gm2 * m * m
         womega = w * omega
         ssuf_pair = ssuf + _mm(womega, _prefix_mat(s, "sexcl"))
@@ -495,9 +491,13 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
             dt = dt_ref[:, :]
 
         (drec,) = pair_vjp((da, dt))                     # [REC, S]
-        dq = jnp.concatenate(
-            [jnp.sum(gq[:, kk:kk + 1] * w, axis=0, keepdims=True)
-             for kk in range(nq)], axis=0)               # [nq, S]
+        # dq[k,s] = Σ_p gq[p,k]·w[p,s] — one MXU contraction over the
+        # pixel axis instead of nq sublane reductions (same DEFAULT
+        # precision standard as gq_qc above)
+        dq = jax.lax.dot_general(
+            gq, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)         # [nq, S]
         contrib = jnp.concatenate(
             [drec[:Q_ROW0], drec[Q_ROW0:Q_ROW0 + nq] + dq,
              drec[Q_ROW0 + nq:]], axis=0)
