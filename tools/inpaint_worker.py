@@ -80,43 +80,29 @@ def make_backend(name, args):
 
 
 def _load_zits(args):
-    """ZITS++ adapter: mirrors the reference's ``ZitsGuidance`` usage
-    (zits_utils.py:143 builds the stack from config+ckpt and exposes a
-    file-path ``inpaint``; here we keep arrays in memory)."""
+    """ZITS++ adapter (pipeline/zits.py implements the reference wrapper's
+    full inference flow — masked positional encoding, NMS + structure
+    upsampling, FTR run — around the external repo's models,
+    zits_utils.py:143)."""
     if not args.zits_repo:
         raise SystemExit("--backend zits requires --zits_repo/--zits_ckpt")
-    sys.path.insert(0, args.zits_repo)
-    import tempfile
-
-    from src.zits_guidance import ZitsGuidance  # type: ignore
-
-    guide = ZitsGuidance(args.zits_ckpt, device=args.device)
-
-    def fn(img, mask):
-        with tempfile.TemporaryDirectory() as d:
-            ip, mp, op = (os.path.join(d, n) for n in
-                          ("in.png", "mask.png", "out.png"))
-            _write_png_atomic(ip, img)
-            _write_png_atomic(mp, mask.astype(np.float32))
-            guide.inpaint(ip, mp, op)
-            return _read_png(op)
-    return fn
+    from streetunveiler_tpu.pipeline.zits import ZitsInpainter
+    ip = ZitsInpainter(args.zits_repo, args.zits_ckpt, device=args.device)
+    return lambda img, mask: ip.inpaint(img, mask)
 
 
 def _load_leftrefill(args):
-    """LeftRefill adapter: the reference concatenates [reference|source]
-    side-by-side at 512x1024, masks the right half, runs DDIM and returns
-    the right half (left_refill_utils.py:277-346)."""
+    """LeftRefill adapter (pipeline/leftrefill.py: [reference|source]
+    512x1024 canvas, 50-token prompt, DDIM, right-half crop —
+    left_refill_utils.py:277-346)."""
     if not args.leftrefill_repo:
         raise SystemExit("--backend leftrefill requires --leftrefill_repo")
-    sys.path.insert(0, args.leftrefill_repo)
-    from left_refill_guidance import LeftRefillGuidance  # type: ignore
-
-    guide = LeftRefillGuidance(args.leftrefill_ckpt, device=args.device)
-
-    def fn(img, mask, ref):
-        return np.asarray(guide.predict(img, mask, ref), np.float32)
-    return fn
+    from streetunveiler_tpu.pipeline.leftrefill import LeftRefillInpainter
+    ip = LeftRefillInpainter(args.leftrefill_repo,
+                             args.leftrefill_ckpt or
+                             "check_points/ref_guided_inpainting",
+                             device=args.device)
+    return lambda img, mask, ref: ip.inpaint(img, mask, reference=ref)
 
 
 def serve(root, backend, once=False, poll=0.5):
