@@ -9,9 +9,12 @@ Stages: A select instances (cluster + per-instance preview renders) →
 B masks + per-frame inpaint-condition artifacts → C inpaint + delta
 re-optimization → final renders into ``instance_workspace_<round>/``.
 
-``--inpainter`` selects the 2D model: ``diffuse`` (hermetic fallback) or
+``--inpainter`` selects the 2D model: ``diffuse`` (hermetic fallback),
 ``dir:<path>`` — the out-of-band file-exchange protocol where a GPU host
-running the real ZITS++/LeftRefill answers requests (``pipeline/inpaint.py``).
+running the real ZITS++/LeftRefill answers requests (``pipeline/inpaint.py``)
+— or ``zits:<repo>:<ckpt>`` / ``leftrefill:<repo>`` to run those adapters
+in-process when the external checkouts live on this host
+(``pipeline/zits.py``, ``pipeline/leftrefill.py``).
 """
 
 from __future__ import annotations
@@ -29,8 +32,20 @@ def make_inpainter(spec: str, timeout: float = 600.0):
     if spec.startswith("dir:"):
         return DirectoryInpainter(spec[4:], timeout=timeout,
                                   fallback=DiffuseFillInpainter())
-    raise ValueError(f"unknown inpainter spec {spec!r} "
-                     "(expected 'diffuse' or 'dir:<path>')")
+    if spec.startswith("zits:"):
+        # in-process ZITS++ on this host: zits:<repo>:<ckpt_root>
+        from ..pipeline.zits import ZitsInpainter
+        repo, _, ckpt = spec[5:].partition(":")
+        return ZitsInpainter(repo, ckpt or os.path.join(repo, "ckpts"))
+    if spec.startswith("leftrefill:"):
+        # in-process LeftRefill: leftrefill:<repo>[:<ckpt_dir>]
+        from ..pipeline.leftrefill import LeftRefillInpainter
+        repo, _, ckpt = spec[11:].partition(":")
+        return LeftRefillInpainter(
+            repo, ckpt or "check_points/ref_guided_inpainting")
+    raise ValueError(f"unknown inpainter spec {spec!r} (expected 'diffuse', "
+                     "'dir:<path>', 'zits:<repo>:<ckpt>' or "
+                     "'leftrefill:<repo>[:<ckpt_dir>]')")
 
 
 def main(argv=None):
@@ -51,7 +66,8 @@ def main(argv=None):
                     help="every k-th frame is a key frame")
     ap.add_argument("--reopt_iterations", type=int, default=1000)
     ap.add_argument("--inpainter", default="diffuse",
-                    help="'diffuse' or 'dir:<exchange-dir>'")
+                    help="'diffuse', 'dir:<exchange-dir>', "
+                         "'zits:<repo>:<ckpt>' or 'leftrefill:<repo>'")
     ap.add_argument("--inpaint_timeout", type=float, default=600.0)
     ap.add_argument("--select_only", action="store_true",
                     help="stop after stage A so instance ids can be chosen "

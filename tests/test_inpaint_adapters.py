@@ -131,3 +131,17 @@ def test_adapters_raise_without_external_repo(tmp_path):
         ZitsInpainter(str(tmp_path / "nope"), str(tmp_path))
     with pytest.raises(RuntimeError):
         LeftRefillInpainter(str(tmp_path / "nope"))
+
+
+def test_cli_inpainter_specs(tmp_path):
+    from streetunveiler_tpu.cli.unveil import make_inpainter
+    from streetunveiler_tpu.pipeline.inpaint import (DiffuseFillInpainter,
+                                                     DirectoryInpainter)
+    assert isinstance(make_inpainter("diffuse"), DiffuseFillInpainter)
+    assert isinstance(make_inpainter(f"dir:{tmp_path}"), DirectoryInpainter)
+    with pytest.raises(ValueError):
+        make_inpainter("unknown-model")
+    with pytest.raises(RuntimeError):     # repo dir absent
+        make_inpainter(f"zits:{tmp_path}/nope:{tmp_path}")
+    with pytest.raises(RuntimeError):
+        make_inpainter(f"leftrefill:{tmp_path}/nope")
