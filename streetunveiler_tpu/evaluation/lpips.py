@@ -88,3 +88,23 @@ def lpips_fn(weights_path: str):
     """Returns a jitted pairwise LPIPS callable."""
     params = load_lpips_weights(weights_path)
     return jax.jit(functools.partial(lpips_pair, params))
+
+
+def vgg_feature_fn(weights_path: str):
+    """Image → pooled VGG tap features [1472] for FID.
+
+    The reference scores FID through ``pytorch_fid``'s InceptionV3
+    (``eval_lpips_fid.sh:5``); that checkpoint is another external
+    artifact, so the VGG backbone already supplied for LPIPS doubles as
+    the FID feature space (concatenated global-average-pooled relu taps).
+    Self-consistent across runs; not numerically comparable to
+    Inception-FID values — documented deviation.
+    """
+    params = load_lpips_weights(weights_path)
+
+    @jax.jit
+    def fn(img):
+        feats = _vgg_features(params, jnp.asarray(img)[None])
+        return jnp.concatenate([jnp.mean(f, axis=(0, 2, 3)) for f in feats])
+
+    return fn

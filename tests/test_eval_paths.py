@@ -65,3 +65,45 @@ def test_write_video(tmp_path):
     _dump(str(tmp_path / "fr"), [rng.random((16, 16, 3)) for _ in range(4)])
     out = write_video(str(tmp_path / "fr"), str(tmp_path / "vid"))
     assert os.path.exists(out) and out.endswith(".gif")
+
+
+def _fake_lpips_npz(path, rng):
+    """Random VGG16-shaped LPIPS weight blob (evaluation/lpips.py layout)."""
+    plan = [(64, 3), (64, 64), (128, 64), (128, 128), (256, 128),
+            (256, 256), (256, 256), (512, 256), (512, 512), (512, 512),
+            (512, 512), (512, 512), (512, 512)]
+    blob = {}
+    for i, (o, c) in enumerate(plan):
+        blob[f"conv{2 * i}"] = rng.normal(0, 0.05, (o, c, 3, 3)
+                                          ).astype("float32")
+        blob[f"conv{2 * i + 1}"] = rng.normal(0, 0.01, o).astype("float32")
+    for i, c in enumerate([64, 128, 256, 512, 512]):
+        blob[f"lin{i}"] = rng.uniform(0, 0.1, (1, c)).astype("float32")
+    np.savez(path, **blob)
+
+
+def test_vgg_feature_fid(tmp_path):
+    """FID over pooled VGG tap features (cli/evaluate --fid): zero on
+    identical dirs, positive on distinct ones (reference protocol
+    eval_lpips_fid.sh:5 with the documented VGG-for-Inception swap)."""
+    from streetunveiler_tpu.evaluation.lpips import vgg_feature_fn
+    from streetunveiler_tpu.evaluation.metrics import fid_from_dirs
+    rng = np.random.default_rng(0)
+    wpath = str(tmp_path / "lpips_vgg.npz")
+    _fake_lpips_npz(wpath, rng)
+    fn = vgg_feature_fn(wpath)
+    f = np.asarray(fn(rng.uniform(0, 1, (64, 64, 3)).astype("float32")))
+    assert f.shape == (64 + 128 + 256 + 512 + 512,)
+    assert np.isfinite(f).all()
+
+    a = [rng.uniform(0, 1, (32, 32, 3)).astype("float32") for _ in range(4)]
+    b = [np.clip(x + rng.normal(0, 0.3, x.shape), 0, 1).astype("float32")
+         for x in a]
+    _dump(tmp_path / "ra", a)
+    _dump(tmp_path / "rb", b)
+    same = fid_from_dirs(str(tmp_path / "ra"), str(tmp_path / "ra"), fn)
+    diff = fid_from_dirs(str(tmp_path / "ra"), str(tmp_path / "rb"), fn)
+    # rank-deficient covariance (4 samples, 1472 dims) leaves ~1e-2 sqrtm
+    # noise on identical dirs; distinct dirs must clear it decisively
+    assert abs(same) < 0.05
+    assert diff > 10 * max(same, 1e-6)
