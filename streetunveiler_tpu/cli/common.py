@@ -22,7 +22,7 @@ def load_scene_info(model: ModelParams, seed: int = 0):
                   end_frame=model.end_frame)
     if kind == "synthetic":
         from ..scene.readers import make_synthetic_street
-        return make_synthetic_street(seed=seed)
+        return make_synthetic_street(seed=seed, eval_split=model.eval)
     if kind == "colmap":
         from ..scene.readers import read_colmap_scene
         return read_colmap_scene(model.source_path, model.colmap_path,

@@ -57,9 +57,14 @@ def make_synthetic_street(n_points: int = 4000, n_cameras: int = 12,
                           width: int = 160, height: int = 112,
                           focal: float = 110.0, seed: int = 0,
                           render_gt: bool = True,
-                          gt_opacity: float = 0.85):
+                          gt_opacity: float = 0.85,
+                          eval_split: bool = False, llffhold: int = 8):
     """Build SceneInfo; GT images come from an oracle render of a hidden
-    GT surfel set (consistent multi-view supervision)."""
+    GT surfel set (consistent multi-view supervision).
+
+    ``eval_split`` holds out every ``llffhold``-th camera as a test view
+    (the reference's COLMAP-reader convention,
+    scene/dataset_readers/colmap.py ``eval``/``llffhold``)."""
     rng = np.random.default_rng(seed)
     pts, cols, sems = _street_points(n_points, rng)
     K = np.array([[focal, 0, width / 2], [0, focal, height / 2], [0, 0, 1]],
@@ -83,10 +88,16 @@ def make_synthetic_street(n_points: int = 4000, n_cameras: int = 12,
                      for c, (img, sem) in zip(cam_infos, images)]
 
     pc = PointCloud(points=pts, colors=cols, semantics=sems)
-    frame_dict = {"front_start": 0, "front_end": n_cameras}
+    train_infos, test_infos = cam_infos, []
+    if eval_split:
+        test_infos = [c for i, c in enumerate(cam_infos)
+                      if i % llffhold == llffhold - 1]
+        train_infos = [c for i, c in enumerate(cam_infos)
+                       if i % llffhold != llffhold - 1]
+    frame_dict = {"front_start": 0, "front_end": len(train_infos)}
     return SceneInfo(point_cloud=pc, reference_cloud=pc,
-                     train_cameras=cam_infos, test_cameras=[],
-                     nerf_normalization=nerf_normalization(cam_infos),
+                     train_cameras=train_infos, test_cameras=test_infos,
+                     nerf_normalization=nerf_normalization(train_infos),
                      camera_frame_dict=frame_dict)
 
 

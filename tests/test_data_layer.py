@@ -218,3 +218,18 @@ def test_blender_reader(tmp_path):
     info = read_blender_info(str(tmp_path), n_init_points=500)
     assert len(info.train_cameras) == 2
     assert info.point_cloud.points.shape == (500, 3)
+
+
+def test_synthetic_eval_split():
+    """--eval holds out every llffhold-th camera (reference colmap.py
+    eval/llffhold convention, applied to the procedural scene)."""
+    from streetunveiler_tpu.scene.readers import make_synthetic_street
+    info = make_synthetic_street(n_points=200, n_cameras=16,
+                                 render_gt=False, eval_split=True)
+    assert len(info.test_cameras) == 2
+    assert len(info.train_cameras) == 14
+    held = {c.uid for c in info.test_cameras}
+    assert held == {7, 15}
+    info2 = make_synthetic_street(n_points=200, n_cameras=16,
+                                  render_gt=False)
+    assert len(info2.test_cameras) == 0 and len(info2.train_cameras) == 16
