@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--mesh_res", type=int, default=0,
                     help="if >0, derive voxel size from bounds/res")
     ap.add_argument("--depth_ratio", type=float, default=0.0)
+    ap.add_argument("--base", action="store_true",
+                    help="render the base training checkpoint even when "
+                         "unveiled rounds exist")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -42,7 +45,8 @@ def main(argv=None):
     from ..config import load_config
     from ..renderer import render, render_semantic
     from ..scene.scene import Scene
-    from ..train.checkpoint import (load_sky_for_iteration,
+    from ..train.checkpoint import (latest_unveiled_checkpoint,
+                                    load_sky_for_iteration,
                                     search_max_iteration)
     from ..train.losses import psnr
     from ..utils.semantics import CONCERNED_COLORS
@@ -58,8 +62,21 @@ def main(argv=None):
     if iteration < 0:
         iteration = search_max_iteration(
             os.path.join(args.model_path, "point_cloud"))
-    state = scene.load(iteration)
-    print(f"loaded iteration {iteration}: {int(state.num_alive)} surfels")
+    # like the reference render.py:101-115: when unveiling rounds exist,
+    # render the newest unveiled checkpoint (cameras/sky still come from
+    # the base model dir); --base opts back into the training checkpoint
+    unveiled = None if args.base else \
+        latest_unveiled_checkpoint(args.model_path)
+    if unveiled is not None:
+        from ..utils.ply import state_from_ply
+        state = state_from_ply(unveiled,
+                               spatial_scale=scene.cameras_extent)
+        print(f"loaded unveiled checkpoint {unveiled}: "
+              f"{int(state.num_alive)} surfels")
+    else:
+        state = scene.load(iteration)
+        print(f"loaded iteration {iteration}: "
+              f"{int(state.num_alive)} surfels")
 
     # composite the trained env-map sky when the checkpoint carries one
     # (train.py:114-115 semantics: image = render + sky·(1−α))

@@ -62,6 +62,9 @@ def main(argv=None):
                     help="instance clustering distance (defaults to the "
                          "reference 7e-2, which assumes normalized scene "
                          "units; scale to ~1%% of scene extent otherwise)")
+    ap.add_argument("--min_cluster_size", type=int, default=None,
+                    help="clusters below this many surfels are not solid "
+                         "(default: pipeline/select.MIN_SOLID_CLUSTER)")
     ap.add_argument("--key_stride", type=int, default=4,
                     help="every k-th frame is a key frame")
     ap.add_argument("--reopt_iterations", type=int, default=1000)
@@ -84,7 +87,8 @@ def main(argv=None):
                                    removal_mask_for_instances,
                                    render_instance_previews)
     from ..scene.scene import Scene
-    from ..train.checkpoint import (load_sky_for_iteration,
+    from ..train.checkpoint import (latest_unveiled_checkpoint,
+                                    load_sky_for_iteration,
                                     search_max_inpaint_round,
                                     search_max_iteration)
     from ..utils.ply import state_to_ply
@@ -101,7 +105,18 @@ def main(argv=None):
     if iteration < 0:
         iteration = search_max_iteration(
             os.path.join(args.model_path, "point_cloud"))
-    state = scene.load(iteration)
+
+    # Round chaining: stage A of round r starts from round r−1's unveiled
+    # checkpoint when one exists (reference
+    # 1_instance_visualization.py:39-47) — so a second unveil run removes
+    # its class FROM the already-unveiled scene, not the original.
+    prev_ply = latest_unveiled_checkpoint(args.model_path)
+    if prev_ply is not None:
+        from ..utils.ply import state_from_ply
+        state = state_from_ply(prev_ply, spatial_scale=scene.cameras_extent)
+        print(f"chaining from unveiled checkpoint {prev_ply}")
+    else:
+        state = scene.load(iteration)
 
     rnd = search_max_inpaint_round(args.model_path) + 1
     ws = os.path.join(args.model_path, f"instance_workspace_{rnd}")
@@ -121,11 +136,13 @@ def main(argv=None):
 
     # ---- stage A: selection + per-instance previews
     class_bit = 1 << CONCERNED_IND[args.semantic_class]
+    from ..pipeline.select import MIN_SOLID_CLUSTER
+    min_size = args.min_cluster_size or MIN_SOLID_CLUSTER
     cl = cluster_semantic_instance(state, class_bit,
                                    threshold=args.cluster_threshold)
     np.save(os.path.join(ws, "cluster_labels.npy"), cl.labels)
     solid = render_instance_previews(
-        scene, state, cl, ws,
+        scene, state, cl, ws, min_size=min_size,
         close_depth=max(4.0, 0.3 * scene.cameras_extent))
     print(f"stage A: {len(cl.cluster_sizes)} clusters "
           f"(top sizes {cl.cluster_sizes[:5]}), "
@@ -138,7 +155,8 @@ def main(argv=None):
 
     # ---- stage B: removal + neighborhood masks + condition artifacts
     removal = removal_mask_for_instances(
-        cl, args.instances or [], all_solid=args.all or not args.instances)
+        cl, args.instances or [], all_solid=args.all or not args.instances,
+        min_size=min_size)
     masks = include_neighbor_pcd(state, removal)
     np.save(os.path.join(ws, "removed_pcd_mask.npy"), masks.removed)
     np.save(os.path.join(ws, "trainable_pcd_mask.npy"), masks.trainable)

@@ -107,3 +107,23 @@ def search_max_inpaint_round(model_path: str) -> int:
     rounds = [int(m.group(1)) for name in os.listdir(model_path)
               if (m := re.fullmatch(r"instance_workspace_(\d+)", name))]
     return max(rounds) if rounds else 0
+
+
+def latest_unveiled_checkpoint(model_path: str) -> Optional[str]:
+    """Newest ``instance_workspace_N/checkpoint/point_cloud.ply`` that
+    exists, or None. How the reference chains unveiling rounds: stage A of
+    round r loads round r−1's unveiled state
+    (``1_instance_visualization.py:39-47``) and ``render.py:101-115``
+    renders the newest unveiled checkpoint when any round exists. Skips
+    workspaces without a checkpoint (``--select_only`` leftovers)."""
+    if not os.path.isdir(model_path):
+        return None
+    rounds = sorted((int(m.group(1)) for name in os.listdir(model_path)
+                     if (m := re.fullmatch(r"instance_workspace_(\d+)",
+                                           name))), reverse=True)
+    for r in rounds:
+        ply = os.path.join(model_path, f"instance_workspace_{r}",
+                           "checkpoint", "point_cloud.ply")
+        if os.path.exists(ply):
+            return ply
+    return None

@@ -51,7 +51,7 @@ def run_case(n):
     vcap = base[0].shape[0]
 
     out = {}
-    for variant in ("const", "dyn"):
+    for variant in ("const", "args", "dyn"):
         dyn = variant == "dyn"
 
         @jax.jit
@@ -61,10 +61,15 @@ def run_case(n):
                 if dyn:
                     z = (s * 1e-30).astype(jnp.int32)
                     vd = [v + z for v in va]
+                elif variant == "args":
+                    vd = list(va)
                 else:
                     vd = list(base)
-                acc, lk = blend_stream(recT, *vd, num_tiles, tiles_x, st,
-                                       False)
+                # perturb recT per-iteration so XLA cannot hoist the
+                # loop-invariant pallas_call out of the fori_loop (the
+                # visit arrays must stay un-computed in const/args)
+                acc, lk = blend_stream(r + s * 1e-30, *vd, num_tiles,
+                                       tiles_x, st, False)
                 return (r, s + jnp.sum(acc) * 1e-30)
             r, s = jax.lax.fori_loop(0, ITERS, body,
                                      (recT, jnp.float32(0.0)))
