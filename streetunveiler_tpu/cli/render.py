@@ -82,8 +82,10 @@ def main(argv=None):
     # (train.py:114-115 semantics: image = render + sky·(1−α))
     sky_params = load_sky_for_iteration(args.model_path, iteration, state)
 
-    bg = jnp.array([1.0, 1.0, 1.0]) if getattr(model, "white_background",
-                                               False) else jnp.zeros(3)
+    # ModelParams.white_background is a real config field persisted in
+    # cfg_args.json (reference -w flag)
+    bg = jnp.array([1.0, 1.0, 1.0]) if model.white_background \
+        else jnp.zeros(3)
 
     # jit over the Camera pytree: per-view w2c/K are traced arrays,
     # width/height static — correct for multi-camera rigs with distinct

@@ -161,15 +161,31 @@ def main(argv=None):
     np.save(os.path.join(ws, "removed_pcd_mask.npy"), masks.removed)
     np.save(os.path.join(ws, "trainable_pcd_mask.npy"), masks.trainable)
     np.save(os.path.join(ws, "editable_pcd_mask.npy"), masks.editable)
+    # reference stages B/C touch only the FRONT cameras
+    # (2_generate_inpainted_mask.py:174 slices
+    # [front_start:front_end]; 1_optimization.py:81-92,510 keyframes and
+    # valid frames within the same range) — on a multi-camera rig the
+    # side cameras are never inpainted
+    n_cams = len(scene.train_cameras)
+    fs = int(scene.camera_frame_dict.get("front_start", 0))
+    fe = int(scene.camera_frame_dict.get("front_end", n_cams))
+    front_frames = list(range(fs, fe))
+
     bg = jnp.zeros(3)
     frame_masks = write_inpaint_conditions(scene, state, masks.removed, ws,
-                                           bg, sky_images=sky_images)
+                                           bg, sky_images=sky_images,
+                                           frames=front_frames)
     print(f"stage B: removing {int(removal.sum())} surfels, "
-          f"{int(masks.trainable.sum())} trainable; conditions in {ws}")
+          f"{int(masks.trainable.sum())} trainable; conditions in {ws} "
+          f"(front frames {fs}..{fe - 1})")
 
-    # ---- stage C: inpaint + delta re-optimization
-    n_cams = len(scene.train_cameras)
-    key_frames = list(range(0, n_cams, args.key_stride))
+    # ---- stage C: inpaint + delta re-optimization (front range only,
+    # with the last front frame as the propagation boundary — the
+    # reference appends camera_frame_dict['front_end'],
+    # 1_optimization.py:81-83)
+    key_frames = list(range(fs, fe, args.key_stride))
+    if key_frames and key_frames[-1] != fe - 1:
+        key_frames.append(fe - 1)
     opt = ReOptimizationParams(iterations=args.reopt_iterations)
     inpainter = make_inpainter(args.inpainter, timeout=args.inpaint_timeout)
     final, _, targets = unveil(scene, state, masks, key_frames, inpainter,

@@ -63,12 +63,13 @@ class DiffuseFillInpainter:
                        * img[~m].mean(axis=0, keepdims=True))
         else:
             fill[m] = img[~m].mean(axis=0, keepdims=True)
+        # edge-clamped neighbor shifts (np.roll would wrap, diffusing
+        # colors from the opposite image border into edge-touching holes)
+        pad = lambda a: np.pad(a, ((1, 1), (1, 1), (0, 0)), mode="edge")
         for _ in range(self.iterations):
-            up = np.roll(fill, -1, 0)
-            dn = np.roll(fill, 1, 0)
-            lf = np.roll(fill, -1, 1)
-            rt = np.roll(fill, 1, 1)
-            avg = 0.25 * (up + dn + lf + rt)
+            p = pad(fill)
+            avg = 0.25 * (p[2:, 1:-1] + p[:-2, 1:-1]
+                          + p[1:-1, 2:] + p[1:-1, :-2])
             fill[m] = avg[m]
         return np.clip(fill, 0.0, 1.0)
 

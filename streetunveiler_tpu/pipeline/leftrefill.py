@@ -12,8 +12,8 @@ wrapper adds around them is implemented here, hermetically testable:
   the left (reference) half unmasked (``left_refill_utils.py:302-325``).
 * :func:`split_right_half` — crop the repainted source half back out and
   restore the original size (``:269,:341``).
-* :func:`pad_to_multiple` — the resize-to-multiple-of-32 policy
-  (``pad_image``, ``:265-269``).
+* :func:`pad_to_multiple` — the edge-pad-to-multiple-of-64 policy
+  (``pad_image``, ``:200-204``).
 * :func:`build_prompt` — the repeated special-token prompt
   (``:327-331``).
 
@@ -32,19 +32,20 @@ from typing import Optional
 import numpy as np
 
 
-def pad_to_multiple(img: np.ndarray, multiple: int = 32) -> np.ndarray:
-    """Resize [H, W, ...] up to the next multiple of ``multiple`` per side
-    (the reference's ``pad_image`` resizes rather than pads, :265-269)."""
-    from PIL import Image
+def pad_to_multiple(img: np.ndarray, multiple: int = 64,
+                    minimum: int = 128) -> np.ndarray:
+    """Edge-PAD [H, W, ...] bottom/right up to the next multiple of
+    ``multiple`` per side, at least ``minimum`` — the reference's
+    ``pad_image`` (``left_refill_utils.py:200-204``:
+    ``max(2, ceil(size/64))·64`` with ``np.pad(mode='edge')``). A no-op at
+    the default 512×1024 canvas."""
     h, w = img.shape[:2]
-    H = -(-h // multiple) * multiple
-    W = -(-w // multiple) * multiple
+    H = max(minimum, -(-h // multiple) * multiple)
+    W = max(minimum, -(-w // multiple) * multiple)
     if (H, W) == (h, w):
         return img
-    u8 = img.dtype == np.uint8
-    a = img if u8 else (np.clip(img, 0, 1) * 255).astype(np.uint8)
-    out = np.asarray(Image.fromarray(a).resize((W, H), Image.BICUBIC))
-    return out if u8 else out.astype(np.float32) / 255.0
+    pad = [(0, H - h), (0, W - w)] + [(0, 0)] * (img.ndim - 2)
+    return np.pad(img, pad, mode="edge")
 
 
 def build_prompt(repeat: int = 50, token: str = "<special-token>") -> str:
@@ -120,8 +121,15 @@ class LeftRefillInpainter:
             repo, ckpt_dir)
         cfg = OmegaConf.load(os.path.join(root, "model_config.yaml"))
         model = instantiate_from_config(cfg.model)
-        ckpts = sorted(glob(os.path.join(root, "ckpts", "epoch=*.ckpt")),
-                       key=lambda p: int(p.rsplit("=", 1)[1].split(".")[0]))
+        # epoch parse like the reference (split('.ckpt')[0].split('=')[-1])
+        # so Lightning names like epoch=12-step=100.ckpt sort correctly
+        ckpts = sorted(
+            glob(os.path.join(root, "ckpts", "epoch=*.ckpt")),
+            key=lambda p: int(os.path.basename(p).split(".ckpt")[0]
+                              .split("=")[-1]))
+        if not ckpts:
+            raise RuntimeError(
+                f"no epoch=*.ckpt under {os.path.join(root, 'ckpts')}")
         sd = torch.load(ckpts[-1], map_location="cpu")
         model.load_state_dict(sd.get("state_dict", sd), strict=False)
         if getattr(model, "save_prompt_only", False):

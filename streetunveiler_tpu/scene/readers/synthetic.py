@@ -90,10 +90,13 @@ def make_synthetic_street(n_points: int = 4000, n_cameras: int = 12,
     pc = PointCloud(points=pts, colors=cols, semantics=sems)
     train_infos, test_infos = cam_infos, []
     if eval_split:
+        # the reference's LLFF convention holds out i % llffhold == 0
+        # (scene/dataset_readers/colmap.py:89-90), same as this repo's
+        # colmap reader
         test_infos = [c for i, c in enumerate(cam_infos)
-                      if i % llffhold == llffhold - 1]
+                      if i % llffhold == 0]
         train_infos = [c for i, c in enumerate(cam_infos)
-                       if i % llffhold != llffhold - 1]
+                       if i % llffhold != 0]
     frame_dict = {"front_start": 0, "front_end": len(train_infos)}
     return SceneInfo(point_cloud=pc, reference_cloud=pc,
                      train_cameras=train_infos, test_cameras=test_infos,

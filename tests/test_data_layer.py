@@ -229,7 +229,7 @@ def test_synthetic_eval_split():
     assert len(info.test_cameras) == 2
     assert len(info.train_cameras) == 14
     held = {c.uid for c in info.test_cameras}
-    assert held == {7, 15}
+    assert held == {0, 8}
     info2 = make_synthetic_street(n_points=200, n_cameras=16,
                                   render_gt=False)
     assert len(info2.test_cameras) == 0 and len(info2.train_cameras) == 16

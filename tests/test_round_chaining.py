@@ -73,3 +73,33 @@ def test_unveil_rounds_chain(tmp_path, monkeypatch):
     # a checkpoint-less workspace (e.g. --select_only leftovers) is skipped
     os.makedirs(os.path.join(mp, "instance_workspace_7"), exist_ok=True)
     assert latest_unveiled_checkpoint(mp) == ply2
+
+
+def test_unveil_respects_front_camera_range(tmp_path, monkeypatch):
+    """Stages B/C only touch camera_frame_dict's front range (reference
+    2_generate_inpainted_mask.py:174, 1_optimization.py:81-92,510): on a
+    rig with side cameras, only front frames get inpaint conditions and
+    key frames."""
+    mp = str(tmp_path / "model")
+    info = make_synthetic_street(n_points=600, n_cameras=4, width=64,
+                                 height=48, focal=45.0, seed=3)
+    # pretend frames 2..3 are side cameras
+    info = info._replace(camera_frame_dict={"front_start": 0,
+                                            "front_end": 2})
+    scene = Scene(info, model_path=mp)
+    state = scene.create_state(capacity=1024)
+    scene.save(state, 30)
+    save_config(mp, model=ModelParams(model_path=mp, scene="synthetic"))
+
+    from streetunveiler_tpu.cli import common as cli_common
+    from streetunveiler_tpu.cli.unveil import main as unveil_main
+    monkeypatch.setattr(cli_common, "load_scene_info",
+                        lambda model, seed=0: info)
+
+    unveil_main(["--model_path", mp, "--all", "--cluster_threshold", "1.5",
+                 "--min_cluster_size", "10", "--key_stride", "2",
+                 "--reopt_iterations", "3", "--semantic_class", "vehicle"])
+    ws = os.path.join(mp, "instance_workspace_1")
+    conds = sorted(f for f in os.listdir(os.path.join(ws, "mask_inpaint"))
+                   if f.endswith(".png"))
+    assert conds == ["00000.png", "00001.png"]
