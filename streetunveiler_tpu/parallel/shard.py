@@ -95,9 +95,6 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
     gradients back to shards, and applies Adam on the local shard only.
     Requires capacity % mesh.shape['data'] == 0.
     """
-    assert not (sky and shard_surfels), (
-        "joint sky training is not wired into the surfel-sharded (ZeRO) "
-        "step; train the sky on the replicated path")
     n_tile = mesh.shape["tile"]
     slab = height // n_tile
     assert slab * n_tile == height and slab % TILE_H == 0, (
@@ -154,17 +151,26 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
         lambda_dist = jnp.where(iteration > opt.semantic_dist_from_iter,
                                 opt.lambda_dist, 0.0)
         loss = loss + lambda_dist * jnp.mean(res.rend_dist)
+        sem_loss = jnp.float32(0.0)
         if semantics:
             from ..train.step import semantic_ce_loss
             from ..utils.semantics import CONCERNED_IND as _CI2
             sky_prior = jax.nn.one_hot(_CI2["sky"], 6, dtype=jnp.float32)
             probs = res.extra + sky_prior * (1.0 - res.rend_alpha)[..., None]
-            loss = loss + opt.semantic_loss_ratio * semantic_ce_loss(
-                probs, gt_sem_slab)
+            sem_loss = semantic_ce_loss(probs, gt_sem_slab)
+            loss = loss + opt.semantic_loss_ratio * sem_loss
             if class_dist:
                 loss = loss + opt.lambda_dist * jnp.sum(
                     jnp.mean(res.class_dist, axis=(0, 1)))
-        return loss, (image, res.radii)
+        # per-slab stats that reduce EXACTLY over the mesh (equal slabs):
+        # mse/l1 are means, overflow is an any(); ssim is the documented
+        # per-slab approximation (module docstring). psnr is derived from
+        # the pmean'd mse outside the per-device body.
+        stats = dict(
+            l1=ll1, ssim=lssim, semantic=sem_loss,
+            mse=jnp.mean((jnp.clip(image, 0.0, 1.0) - gt_slab) ** 2),
+            overflow=jnp.asarray(res.overflow).astype(jnp.float32))
+        return loss, (image, res.radii, stats)
 
     def sharded_grads(params, aux_state, w2c_b, k_b, gt_b, gt_sem_b, bg,
                       iteration, sky_p=None):
@@ -182,8 +188,8 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
 
         if gt_sem_b is None:
             gt_sem_b = jnp.zeros(gt_b.shape[:3], jnp.int32)
-        loss, grads, (img, radii) = jax.vmap(one_cam)(w2c_b, k_b, gt_b,
-                                                      gt_sem_b)
+        loss, grads, (img, radii, stats) = jax.vmap(one_cam)(
+            w2c_b, k_b, gt_b, gt_sem_b)
         nb = w2c_b.shape[0]
         loss = jax.lax.pmean(jnp.mean(loss), ("data", "tile"))
         sum_b = lambda g: jnp.sum(g, axis=0) / nb
@@ -193,7 +199,17 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
         skg = grads[2] if sky else None
         vis = jax.lax.pmax(jnp.max(jnp.where(radii > 0, radii, 0.0), axis=0),
                            ("data", "tile"))
-        return loss, pg, sg, vis, skg
+        # batch-mean then mesh-mean (== global means over equal slabs);
+        # overflow is a max (any slab of any camera overflowed its
+        # slab-local duplicate capacity — the visible failure mode of the
+        # 2x/n_tile heuristic above)
+        stats = jax.tree.map(lambda s: jnp.mean(s, axis=0), stats)
+        ovf = jax.lax.pmax(stats.pop("overflow"), ("data", "tile"))
+        stats = jax.lax.pmean(stats, ("data", "tile"))
+        stats["overflow"] = ovf > 0.0
+        stats["psnr"] = 20.0 * jnp.log10(
+            1.0 / jnp.sqrt(jnp.maximum(stats.pop("mse"), 1e-12)))
+        return loss, pg, sg, vis, skg, stats
 
     @functools.partial(jax.jit, static_argnames=())
     def step(state: SurfelState, opt_state: AdamState, w2c_b, k_b, gt_b,
@@ -206,10 +222,10 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
                       P("data", "tile", None, None),
                       P() if gt_sem_b is None else P("data", "tile", None),
                       P(), P(), P()),
-            out_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P()),
             check_vma=False,
         )
-        loss, pgrads, sgrads, radii, skg = fn(
+        loss, pgrads, sgrads, radii, skg, stats = fn(
             state.params, state, w2c_b, k_b, gt_b, gt_sem_b, bg, iteration,
             sky_params)
 
@@ -224,19 +240,21 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
                 skg, sky_opt_state, sky_params, sky_lrs, eps=1e-8)
         visible = (radii > 0) & (iteration < opt.densify_until_iter)
         state = add_densification_stats(state, sgrads, radii, visible)
+        metrics = dict(loss=loss, n_alive=state.num_alive, **stats)
         if sky:
-            return (state, opt_state, sky_params, sky_opt_state,
-                    dict(loss=loss))
-        return state, opt_state, dict(loss=loss)
+            return (state, opt_state, sky_params, sky_opt_state, metrics)
+        return state, opt_state, metrics
 
     def zero_sharded(params_shard, mu_shard, nu_shard, aux_state,
-                     w2c_b, k_b, gt_b, gt_sem_b, bg, iteration, step_count):
+                     w2c_b, k_b, gt_b, gt_sem_b, bg, iteration, step_count,
+                     sky_p):
         """Per-device body with surfel-sharded parameters/moments."""
         gather = lambda leaf: jax.lax.all_gather(leaf, "data", axis=0,
                                                  tiled=True)
         params = jax.tree.map(gather, params_shard)
-        loss, pgrads, sgrads, radii, _ = sharded_grads(
-            params, aux_state, w2c_b, k_b, gt_b, gt_sem_b, bg, iteration)
+        loss, pgrads, sgrads, radii, skg, stats = sharded_grads(
+            params, aux_state, w2c_b, k_b, gt_b, gt_sem_b, bg, iteration,
+            sky_p)
         # pgrads are identical on every device after the pmean; keep only
         # this device's shard of them (reduce-scatter equivalent)
         nd = jax.lax.axis_size("data")
@@ -250,22 +268,28 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
             g_shard, AdamState(step=step_count, mu=mu_shard, nu=nu_shard),
             params_shard, lrs)
         return (loss, new_shard, new_opt.mu, new_opt.nu,
-                shard_of(sgrads), shard_of(radii))
+                shard_of(sgrads), shard_of(radii), skg, stats)
 
     @functools.partial(jax.jit, static_argnames=())
     def step_zero(state: SurfelState, opt_state: AdamState, w2c_b, k_b,
-                  gt_b, bg, iteration, gt_sem_b=None):
+                  gt_b, bg, iteration, gt_sem_b=None, sky_params=None,
+                  sky_opt_state=None):
         """state.params / opt moments / densify stats enter SHARDED along
-        the surfel axis (place them with surfel_sharding(mesh))."""
+        the surfel axis (place them with surfel_sharding(mesh)).
+
+        ``sky``: the sky pytree is tiny, so it stays replicated — its
+        pmean'd gradients come back from the sharded body like the surfel
+        grads and Adam applies on the replicated copy (BASELINE config 5
+        runs the full pipeline incl. the env-map sky)."""
         fn = shard_map(
             zero_sharded,
             mesh=mesh,
             in_specs=(P("data"), P("data"), P("data"), P(), P("data"),
                       P("data"), P("data", "tile", None, None),
                       P() if gt_sem_b is None else P("data", "tile", None),
-                      P(), P(), P()),
+                      P(), P(), P(), P()),
             out_specs=(P(), P("data"), P("data"), P("data"), P("data"),
-                       P("data")),
+                       P("data"), P(), P()),
             check_vma=False,
         )
         # aux_state carries the non-parameter arrays replicated (semantics/
@@ -274,13 +298,20 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
         # sharded parameter arrays aren't re-gathered under the P() spec.
         aux = dataclasses.replace(
             state, params=jax.tree.map(lambda l: l[:0], state.params))
-        loss, new_params, mu, nu, sgrads, radii = fn(
+        loss, new_params, mu, nu, sgrads, radii, skg, stats = fn(
             state.params, opt_state.mu, opt_state.nu, aux, w2c_b, k_b,
-            gt_b, gt_sem_b, bg, iteration, opt_state.step)
+            gt_b, gt_sem_b, bg, iteration, opt_state.step, sky_params)
         opt_state = AdamState(step=opt_state.step + 1, mu=mu, nu=nu)
         state = dataclasses.replace(state, params=new_params)
         visible = (radii > 0) & (iteration < opt.densify_until_iter)
         state = add_densification_stats(state, sgrads, radii, visible)
-        return state, opt_state, dict(loss=loss)
+        metrics = dict(loss=loss, n_alive=state.num_alive, **stats)
+        if sky:
+            sky_lrs = jax.tree.map(lambda _: jnp.float32(sky_lr),
+                                   sky_params)
+            sky_params, sky_opt_state = adam_update(
+                skg, sky_opt_state, sky_params, sky_lrs, eps=1e-8)
+            return (state, opt_state, sky_params, sky_opt_state, metrics)
+        return state, opt_state, metrics
 
     return step_zero if shard_surfels else step

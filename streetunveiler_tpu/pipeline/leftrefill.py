@@ -172,8 +172,15 @@ class LeftRefillInpainter:
             uc = self.model.cond_stage_model.encode([""])
             uncond = {"c_concat": [cc], "c_crossattn": [uc]}
             shape = (self.model.channels, h // 8, w // 8)
+            # eta=1.0 + explicit seeded start code: the reference's DDIM
+            # flow (left_refill_utils.py:146-149,183) samples with full
+            # stochasticity from a RandomState(seed) start latent
+            start_code = torch.from_numpy(
+                np.random.RandomState(seed).randn(
+                    1, self.model.channels, h // 8, w // 8)).float().to(dev)
             samples, _ = self.sampler.sample(
-                ddim_steps, 1, shape, cond, verbose=False,
+                ddim_steps, 1, shape, cond, verbose=False, eta=1.0,
+                x_T=start_code,
                 unconditional_guidance_scale=scale,
                 unconditional_conditioning=uncond)
             dec = self.model.decode_first_stage(samples)

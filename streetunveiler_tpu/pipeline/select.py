@@ -114,6 +114,7 @@ def render_instance_previews(scene, state: SurfelState,
     ``solid_cluster_mask.npy`` and ``solid_cluster.ply`` (the solid
     surfels as an RGB cloud, reference ``save_rgb_ply`` :155).
     Returns the solid-cluster mask."""
+    import jax
     import jax.numpy as jnp
     from ..renderer import render
 
@@ -123,28 +124,47 @@ def render_instance_previews(scene, state: SurfelState,
     xyz_all = jnp.asarray(state.params.xyz)
     solid = np.zeros(clustering.labels.shape[0], bool)
 
+    # frame-selection stats for ALL frames in ONE jitted call per cluster
+    # (the per-(frame, cluster) pcd_in_frame_mask loop was O(F·C) device
+    # round-trips); same frustum semantics as scene.pcd_in_frame_mask
+    cams = scene.train_cameras
+    w2c_all = jnp.stack([jnp.asarray(c.w2c) for c in cams])
+    k_all = jnp.stack([jnp.asarray(c.K) for c in cams])
+    wh_all = jnp.asarray([[c.width, c.height] for c in cams], jnp.float32)
+
+    @jax.jit
+    def frame_stats(weights):
+        def per_frame(w2c, K, wh):
+            v = xyz_all @ w2c[:3, :3].T + w2c[:3, 3]
+            z = v[:, 2]
+            zs = jnp.maximum(z, 1e-8)
+            x = v[:, 0] / zs * K[0, 0] + K[0, 2]
+            y = v[:, 1] / zs * K[1, 1] + K[1, 2]
+            inside = ((z > 0.01) & (x >= 0) & (x < wh[0])
+                      & (y >= 0) & (y < wh[1]))
+            wi = weights * inside
+            cnt = jnp.sum(wi)
+            frac = cnt / jnp.maximum(jnp.sum(weights), 1.0)
+            mdepth = jnp.sum(wi * z) / jnp.maximum(cnt, 1e-6)
+            return frac, mdepth
+        return jax.vmap(per_frame)(w2c_all, k_all, wh_all)
+
     for cid, size in zip(clustering.cluster_ids, clustering.cluster_sizes):
         if size < min_size:
             break   # sizes are sorted descending
         cmask = clustering.labels == int(cid)
         solid |= cmask
-        cpts = xyz_all[np.where(cmask)[0]]
 
-        pick = -1
-        for idx in range(len(scene.train_cameras)):
-            inside = np.asarray(scene.pcd_in_frame_mask(cpts, idx))
-            if inside.sum() <= 0.9 * cpts.shape[0]:
-                continue
-            _, depth = scene.pcd_pixel_coords(cpts, idx)
-            if float(np.asarray(depth)[inside].mean()) < close_depth:
-                pick = idx
-                break
-        if pick < 0:
-            for idx in range(len(scene.train_cameras)):
-                inside = np.asarray(scene.pcd_in_frame_mask(cpts, idx))
-                if inside.sum() > 0.5 * cpts.shape[0]:
-                    pick = idx
-                    break
+        fracs, depths = map(np.asarray,
+                            frame_stats(jnp.asarray(cmask, jnp.float32)))
+        # first frame seeing >90% of the cluster close up; fallback >50%
+        # (reference 1_instance_visualization.py:86-99)
+        good = np.where((fracs > 0.9) & (depths < close_depth))[0]
+        if good.size:
+            pick = int(good[0])
+        else:
+            fallback = np.where(fracs > 0.5)[0]
+            pick = int(fallback[0]) if fallback.size else -1
         if pick < 0:
             continue
         res = render(scene.train_cameras[pick], state, bg,

@@ -241,6 +241,12 @@ class ZitsInpainter:
         (self.model.ftr_ema if hasattr(self.model, "ftr_ema")
          else self.model.ftr).eval()
         self.use_gradient = bool(cfg["g_args"].get("use_gradient", False))
+        if self.use_gradient and test_size != 512:
+            # the reference's 256 path swaps edgeline_tsr for grad_tsr
+            # (zits_utils.py:308-319) — not implemented here
+            raise NotImplementedError(
+                "use_gradient requires test_size=512 (the grad_tsr "
+                "completion branch for test_size=256 is not implemented)")
 
     # -- batch preparation (zits_utils.py:205-262), arrays in memory
     def _batch(self, image: np.ndarray, mask: np.ndarray):
@@ -254,6 +260,13 @@ class ZitsInpainter:
                     nearest=True)
         img256 = _resize(img, 256, 256)
         m256 = (_resize(m, 256, 256) > 0).astype(np.float32)
+        # the HAWP line detector always consumes a FIXED 512x512 tensor
+        # regardless of test_size (zits_utils.py:213,223)
+        img512 = img if ts == 512 else _resize(
+            np.asarray(image, np.float32), 512, 512)
+        m512 = m if ts == 512 else _resize(
+            (np.asarray(mask) != 0).astype(np.uint8) * 255, 512, 512,
+            nearest=True)
         # abs_pos stays on the 256 grid; rel_pos/direct return at the mask
         # resolution (zits_utils.py:122-133 resizes only those two back)
         rel_pos, abs_pos, direct = masked_position_encoding(m)
@@ -261,8 +274,8 @@ class ZitsInpainter:
             image=norm(img), img_256=norm(img256),
             mask=chw(((m > 127)[..., None]).astype(np.float32)),
             mask_256=chw(m256[..., None]),
-            mask_512=chw(((m > 127)[..., None]).astype(np.float32)),
-            img_512=chw(img),
+            mask_512=chw(((m512 > 127)[..., None]).astype(np.float32)),
+            img_512=chw(img512),
             rel_pos=t(rel_pos)[None].long(),
             abs_pos=t(abs_pos)[None].long(),
             direct=t(direct)[None].long(),

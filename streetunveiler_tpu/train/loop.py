@@ -13,7 +13,7 @@ import dataclasses
 import os
 import time
 from functools import partial
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -220,7 +220,8 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
                         duplicate_capacity: Optional[int] = None,
                         shard_surfels: bool = False, seed: int = 0,
                         callback=None, logger=None, opt_state=None,
-                        use_semantics: bool = False):
+                        use_semantics: bool = False, eval_every: int = 0,
+                        eval_max_views: int = 8):
     """Multi-chip stage-1 loop over a (data × tile) device mesh
     (SURVEY.md §2.4, BASELINE configs 3/5).
 
@@ -231,15 +232,17 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
     sharded executable carries the full stage-1 loss set — semantic CE +
     fused per-class distortion past ``semantic_dist_from_iter`` —
     matching the single-chip ``train_step`` exactly.
+
+    Mixed camera sizes are BUCKETED by (width, height): one sharded step
+    compiles per bucket and each training batch draws all its cameras
+    from one bucket (random order without replacement within buckets,
+    buckets drawn proportionally to size — the multi-resolution analog
+    of the reference's random camera order, train.py:62-66).
     """
     from ..parallel.shard import make_mesh, make_sharded_train_step
     iterations = iterations or opt.iterations
     cams = scene.train_cameras
     n_cams = len(cams)
-    w = cams[0].width
-    h = cams[0].height
-    assert all(c.width == w and c.height == h for c in cams), (
-        "sharded training assumes equal image sizes (bucket cameras)")
     densification_interval = max(1, int(1.15 * n_cams))
     bg = jnp.zeros(3) if bg is None else jnp.asarray(bg)
     if opt_state is None:
@@ -249,22 +252,38 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
     use_sem = (use_semantics and opt.enable_semantic_loss
                and getattr(scene, "train_semantics", None) is not None
                and all(s is not None for s in scene.train_semantics))
-    use_sky = sky_params is not None and not shard_surfels
+    use_sky = sky_params is not None
     sky_opt_state = None
     if use_sky:
         from ..train.optim import adam_init
         sky_opt_state = adam_init(sky_params)
-    step = make_sharded_train_step(mesh, opt, w, h,
-                                   duplicate_capacity=duplicate_capacity,
-                                   shard_surfels=shard_surfels,
-                                   semantics=use_sem, sky=use_sky)
-    step_late = (make_sharded_train_step(
-        mesh, opt, w, h, duplicate_capacity=duplicate_capacity,
-        shard_surfels=shard_surfels, semantics=True, class_dist=True,
-        sky=use_sky)
-        if use_sem else step)
-    sem_all = (np.stack([np.asarray(s) for s in scene.train_semantics])
-               if use_sem else None)
+
+    # ---- camera-size buckets: per-bucket steps, stacked arrays, orders
+    buckets: dict[tuple, dict] = {}
+    for i, c in enumerate(cams):
+        buckets.setdefault((c.width, c.height), {"idx": []})["idx"].append(i)
+    steps: dict[tuple, Any] = {}
+
+    def step_for(size, late):
+        if (size, late) not in steps:
+            w, h = size
+            steps[size, late] = make_sharded_train_step(
+                mesh, opt, w, h, duplicate_capacity=duplicate_capacity,
+                shard_surfels=shard_surfels,
+                semantics=(True if late else use_sem),
+                class_dist=late, sky=use_sky)
+        return steps[size, late]
+
+    sem_list = scene.train_semantics if use_sem else None
+    for size, b in buckets.items():
+        ii = b["idx"]
+        b["w2c"] = np.stack([np.asarray(cams[i].w2c) for i in ii])
+        b["k"] = np.stack([np.asarray(cams[i].K) for i in ii])
+        b["gt"] = np.stack([np.asarray(scene.train_images[i]) for i in ii])
+        b["sem"] = (np.stack([np.asarray(sem_list[i]) for i in ii])
+                    if use_sem else None)
+        b["order"] = []
+
     if shard_surfels:
         from ..parallel.shard import surfel_sharding
         sh = surfel_sharding(mesh)
@@ -274,9 +293,6 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
                                        nu=jax.device_put(opt_state.nu, sh))
 
     from ..parallel.multihost import make_global_batch
-    w2c_all = np.stack([np.asarray(c.w2c) for c in cams])
-    k_all = np.stack([np.asarray(c.K) for c in cams])
-    gt_all = np.stack([np.asarray(img) for img in scene.train_images])
     # multi-host: each process draws the same camera order (same seed) and
     # contributes its slice of the global batch; single-process this is a
     # plain sharded device_put (parallel/multihost.py)
@@ -285,31 +301,37 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
 
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
-    order: list[int] = []
+    bucket_keys = sorted(buckets.keys())
+    bucket_p = np.array([len(buckets[k]["idx"]) for k in bucket_keys],
+                        np.float64)
+    bucket_p /= bucket_p.sum()
     reports: list[TrainReport] = []
     t_window = time.perf_counter()
     window_iters = 0
+    overflow_warned = False
 
     for iteration in range(start_iteration + 1, iterations + 1):
+        size = bucket_keys[int(rng.choice(len(bucket_keys), p=bucket_p))]
+        b = buckets[size]
         batch = []
         for _ in range(n_data):
-            if not order:
-                order = list(rng.permutation(n_cams))
-            batch.append(int(order.pop()))
+            if not b["order"]:
+                b["order"] = list(rng.permutation(len(b["idx"])))
+            batch.append(int(b["order"].pop()))
         # this host materializes only its slice of the (deterministic)
         # global batch; make_global_batch assembles the sharded arrays
         lo = jax.process_index() * per_proc
         bidx = np.asarray(batch[lo:lo + per_proc] if n_proc > 1 else batch)
         if use_sem:
             w2c_b, k_b, gt_b, sem_b = make_global_batch(
-                mesh, w2c_all[bidx], k_all[bidx], gt_all[bidx],
-                sem_all[bidx])
+                mesh, b["w2c"][bidx], b["k"][bidx], b["gt"][bidx],
+                b["sem"][bidx])
         else:
-            w2c_b, k_b, gt_b = make_global_batch(mesh, w2c_all[bidx],
-                                                 k_all[bidx], gt_all[bidx])
+            w2c_b, k_b, gt_b = make_global_batch(mesh, b["w2c"][bidx],
+                                                 b["k"][bidx], b["gt"][bidx])
             sem_b = None
-        stp = (step_late if use_sem
-               and iteration > opt.semantic_dist_from_iter else step)
+        late = bool(use_sem and iteration > opt.semantic_dist_from_iter)
+        stp = step_for(size, late)
         if use_sky:
             state, opt_state, sky_params, sky_opt_state, metrics = stp(
                 state, opt_state, w2c_b, k_b, gt_b, bg,
@@ -347,20 +369,47 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
 
         if iteration % log_every == 0 or iteration == iterations:
             dt = time.perf_counter() - t_window
+            ovf = bool(metrics["overflow"])
+            if ovf and not overflow_warned:
+                print("WARNING: a slab's duplicate stream overflowed — "
+                      "farthest surfels dropped; raise duplicate_capacity "
+                      "(the slab-local heuristic is 2x the even split)",
+                      flush=True)
+                overflow_warned = True
+            test_psnr, test_l1 = float("nan"), float("nan")
+            if (eval_every and scene.test_cameras
+                    and (iteration % eval_every == 0
+                         or iteration == iterations)):
+                test_psnr, test_l1 = evaluate_views(
+                    state, scene.test_cameras,
+                    getattr(scene, "test_images", []), bg,
+                    sky_params=sky_params, max_views=eval_max_views,
+                    duplicate_capacity=duplicate_capacity)
             rep = TrainReport(iteration=iteration,
                               loss=float(metrics["loss"]),
-                              psnr=float("nan"),
-                              n_alive=int(state.num_alive),
-                              iters_per_s=window_iters / max(dt, 1e-9))
+                              psnr=float(metrics["psnr"]),
+                              n_alive=int(metrics["n_alive"]),
+                              iters_per_s=window_iters / max(dt, 1e-9),
+                              overflow_frac=float(ovf),
+                              test_psnr=test_psnr, test_l1=test_l1)
             reports.append(rep)
             if callback:
                 callback(rep)
             if logger is not None:
-                logger.scalars(iteration, {
-                    "train/loss": rep.loss,
+                w, h = size
+                scalars = {
+                    "train/loss": rep.loss, "train/psnr": rep.psnr,
+                    "train/l1": float(metrics["l1"]),
+                    "train/ssim": float(metrics["ssim"]),
+                    "train/semantic": float(metrics["semantic"]),
                     "model/n_alive": rep.n_alive,
+                    "model/overflow": rep.overflow_frac,
                     "perf/iters_per_s": rep.iters_per_s,
-                    "perf/rays_per_s": rep.iters_per_s * w * h * n_data})
+                    "perf/rays_per_s": rep.iters_per_s * w * h * n_data}
+                if np.isfinite(rep.test_psnr):
+                    scalars["test/psnr"] = rep.test_psnr
+                    scalars["test/l1"] = rep.test_l1
+                logger.scalars(iteration, scalars)
             t_window = time.perf_counter()
             window_iters = 0
 

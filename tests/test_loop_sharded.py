@@ -86,3 +86,115 @@ def test_train_scene_sharded_full_executable():
     moved = jax.tree.map(
         lambda a, b: float(jnp.abs(a - b).max()) > 0, sky, sky2)
     assert any(jax.tree.leaves(moved))
+
+
+def test_sharded_metrics_match_single_chip():
+    """VERDICT r2 #4: the sharded loop reports the same metric set as the
+    single-chip step, with matching values on a 1-tile mesh (ssim/psnr
+    are exact when no slab split is involved)."""
+    import dataclasses
+    from streetunveiler_tpu.config import OptimizationParams
+    from streetunveiler_tpu.parallel.shard import (make_mesh,
+                                                   make_sharded_train_step)
+    from streetunveiler_tpu.scene.readers import make_synthetic_street
+    from streetunveiler_tpu.scene.scene import Scene
+    from streetunveiler_tpu.train.step import init_optimizer, train_step
+
+    info = make_synthetic_street(n_points=300, n_cameras=2, width=64,
+                                 height=48, focal=40.0, seed=3)
+    scene = Scene(info)
+    state = scene.create_state(capacity=512)
+    opt = OptimizationParams()
+    opt_state = init_optimizer(state)
+    cam = scene.train_cameras[0]
+    gt = jnp.asarray(scene.train_images[0])
+    bg = jnp.zeros(3)
+
+    _, _, _, _, m1 = train_step(state, opt_state, cam, gt, bg,
+                                jnp.asarray(1), opt)
+
+    mesh = make_mesh(1, 1)
+    step = make_sharded_train_step(mesh, opt, 64, 48)
+    _, _, m2 = step(state, opt_state, cam.w2c[None], cam.K[None],
+                    gt[None], bg, jnp.asarray(1))
+
+    for k in ("loss", "l1", "ssim", "psnr", "semantic"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-5,
+                                   err_msg=f"metric {k}")
+    assert bool(m1["overflow"]) == bool(m2["overflow"]) is False
+    assert int(m1["n_alive"]) == int(m2["n_alive"])
+
+
+def test_zero_sharded_with_sky():
+    """Sky x shard_surfels (VERDICT r2 missing #5): the ZeRO step trains
+    the replicated sky jointly with surfel-sharded parameters."""
+    from streetunveiler_tpu.config import OptimizationParams
+    from streetunveiler_tpu.models.gaussians import create_from_pcd
+    from streetunveiler_tpu.models.sky import init_sky
+    from streetunveiler_tpu.parallel.shard import (make_mesh,
+                                                   make_sharded_train_step)
+    from streetunveiler_tpu.train.optim import adam_init
+    from streetunveiler_tpu.train.step import init_optimizer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(0)
+    n = 48
+    pts = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                    rng.uniform(3, 8, n)], 1).astype(np.float32)
+    cols = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    state = create_from_pcd(pts, cols, rng.integers(0, 6, n),
+                            spatial_scale=4.0, capacity=64)
+    opt_state = init_optimizer(state)
+    opt = OptimizationParams()
+    W, H, f = 32, 64, 30.0
+    K = jnp.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], jnp.float32)
+    mesh = make_mesh(2, 4)
+    sky = init_sky(jax.random.PRNGKey(1))
+    sky_opt = adam_init(sky)
+
+    B = 2
+    w2c = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+    Kb = jnp.broadcast_to(K, (B, 3, 3))
+    gt = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32)
+
+    step_z = make_sharded_train_step(mesh, opt, W, H, shard_surfels=True,
+                                     sky=True)
+    s2, o2, sky2, sky_opt2, m2 = step_z(
+        state, opt_state, w2c, Kb, gt, jnp.zeros(3), jnp.asarray(1),
+        None, sky, sky_opt)
+    assert np.isfinite(float(m2["loss"]))
+    assert np.isfinite(float(m2["psnr"]))
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()) > 0, sky, sky2)
+    assert any(jax.tree.leaves(moved))
+
+
+def test_sharded_loop_buckets_mixed_camera_sizes():
+    """Mixed (width, height) cameras train via per-bucket sharded steps
+    instead of the former equal-size assert."""
+    from types import SimpleNamespace
+    from streetunveiler_tpu.config import OptimizationParams
+    from streetunveiler_tpu.scene.readers import make_synthetic_street
+    from streetunveiler_tpu.scene.scene import Scene
+    from streetunveiler_tpu.train.loop import train_scene_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    s1 = Scene(make_synthetic_street(n_points=300, n_cameras=2, width=64,
+                                     height=32, focal=40.0, seed=4))
+    s2 = Scene(make_synthetic_street(n_points=300, n_cameras=2, width=48,
+                                     height=64, focal=40.0, seed=5))
+    mixed = SimpleNamespace(
+        train_cameras=s1.train_cameras + s2.train_cameras,
+        train_images=s1.train_images + s2.train_images,
+        train_semantics=s1.train_semantics + s2.train_semantics,
+        test_cameras=[], test_images=[], model_path=None)
+    state = s1.create_state(capacity=512)
+    opt = OptimizationParams(densify_from_iter=10_000)
+
+    state2, _, reps = train_scene_sharded(
+        mixed, state, opt, n_tile=2, n_data=2, iterations=8, log_every=4)
+    assert len(reps) == 2
+    assert np.isfinite([r.loss for r in reps]).all()
+    assert np.isfinite([r.psnr for r in reps]).all()
