@@ -99,7 +99,7 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
                                  sg(sur.depth), sur.valid, settings.width,
                                  settings.height, TILE_W, TILE_H,
                                  duplicate_capacity, max_tiles_per_surfel,
-                                 cull=sg(sur.cull))
+                                 cull=sg(sur.cull), interpret=interpret)
 
     # lane-axis gather of the packed records — the step's one unavoidable
     # per-duplicate gather; builds the kernels' [rec, cap] layout directly

@@ -34,6 +34,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 S_CHUNK = 128  # duplicates per stream chunk == kernel lane count
 CULL_KMAX = 16  # AABB tile-span up to which the conic cull runs BEFORE
@@ -61,6 +63,23 @@ class StreamBinning(NamedTuple):
 def visit_capacity(dup_capacity: int, tiles_x: int, tiles_y: int) -> int:
     """Static visit count: every chunk once + one extra per tile boundary."""
     return dup_capacity // S_CHUNK + tiles_x * tiles_y
+
+
+def _divmod_small(k, d):
+    """Exact (q, r) = divmod(k, d) for small non-negative int32 via f32
+    divide + fixup — the VPU's general integer division lowers an order
+    of magnitude slower than a float divide (both k and d < 2^23 here,
+    so the float path plus one-step correction is exact)."""
+    q = jnp.floor(k.astype(jnp.float32) / d.astype(jnp.float32)
+                  ).astype(jnp.int32)
+    r = k - q * d
+    over = (r >= d).astype(jnp.int32)
+    q = q + over
+    r = r - over * d
+    neg = (r < 0).astype(jnp.int32)
+    q = q - neg
+    r = r + neg * d
+    return q, r
 
 
 def _tile_can_contribute(coefs, tx, ty, tile_w: int, tile_h: int):
@@ -118,10 +137,91 @@ def _tile_can_contribute(coefs, tx, ty, tile_w: int, tile_h: int):
     return hit
 
 
+EXP_BLK = 1024   # duplicate slots per expansion-kernel grid step
+
+
+def _expand_kernel(total_ref, g_ref, tid_ref, sid_ref, *, tiles_x,
+                   tile_w, tile_h, n, sentinel, has_cull):
+    """Per-duplicate (tile_id, surf_id) from gathered table rows.
+
+    One Pallas pass over the row-major gathered table: XLA materializes
+    every row read of a [cap, R] gather result as its own strided
+    full-array pass (~2 ms each, ~20 of them); here the block transposes
+    once in VMEM and all the expansion arithmetic (nibble pick, divmod,
+    conic wide-surfel cull) runs lane-wise in registers."""
+    c = pl.program_id(0)
+    gf = jnp.transpose(g_ref[:, :], (1, 0))          # [R, BLK] f32
+    row_i = lambda i: jax.lax.bitcast_convert_type(gf[i:i + 1, :],
+                                                   jnp.int32)
+    slot = c * EXP_BLK + jax.lax.broadcasted_iota(jnp.int32, (1, EXP_BLK),
+                                                  1)
+    x0, y0, nx = row_i(0), row_i(1), row_i(2)
+    k = slot - row_i(3)
+    in_stream = slot < total_ref[0]
+    if has_cull:
+        is_small = row_i(5) > 0
+        kk = jnp.clip(k, 0, CULL_KMAX - 1)
+        # k-th 4-bit rect position: select word, variable lane shift
+        prow = jnp.where(kk < 8, row_i(6), row_i(7))
+        pk = (prow >> ((kk & 7) * 4)) & 15
+        k = jnp.where(is_small, pk, k)
+    # exact divmod via f32 divide + fixup (VPU int division is very slow)
+    nxf = jnp.maximum(nx.astype(jnp.float32), 1.0)
+    q = jnp.floor(k.astype(jnp.float32) / nxf).astype(jnp.int32)
+    r = k - q * nx
+    over = (r >= nx).astype(jnp.int32)
+    q, r = q + over, r - over * nx
+    neg = (r < 0).astype(jnp.int32)
+    q, r = q - neg, r + neg * nx
+    tx = x0 + r
+    ty = y0 + q
+    tid = ty * tiles_x + tx
+    if has_cull:
+        # wide surfels: post-expansion conic cull (their rect enumeration
+        # stands); tx/ty ARE tid's coordinates by construction
+        coefs = tuple(gf[8 + i:9 + i, :] for i in range(13))
+        wide_ok = _tile_can_contribute(coefs, tx, ty, tile_w, tile_h)
+        in_stream = in_stream & (is_small | wide_ok)
+    tid_ref[0] = jnp.where(in_stream, tid, sentinel).reshape(8, 128)
+    sid_ref[0] = jnp.where(in_stream, row_i(4), n).reshape(8, 128)
+
+
+def _expand_stream(g, total_capped, tiles_x, tile_w, tile_h, n, sentinel,
+                   has_cull, interpret):
+    """g [capp, R] f32 (capp % EXP_BLK == 0) → (tile_id, surf_id) [capp]."""
+    import functools
+    capp, rows = g.shape
+    assert capp % EXP_BLK == 0
+    kern = functools.partial(_expand_kernel, tiles_x=tiles_x,
+                             tile_w=tile_w, tile_h=tile_h, n=n,
+                             sentinel=sentinel, has_cull=has_cull)
+    tid, sid = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(capp // EXP_BLK,),
+            in_specs=[pl.BlockSpec((EXP_BLK, rows), lambda c, tot: (c, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((1, 8, 128), lambda c, tot: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, 128), lambda c, tot: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((capp // EXP_BLK, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((capp // EXP_BLK, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(total_capped.reshape(1), g)
+    return tid.reshape(-1), sid.reshape(-1)
+
+
 def bin_surfels_stream(center2d, ext, depth, valid, width: int, height: int,
                        tile_w: int, tile_h: int, dup_capacity: int,
                        max_tiles_per_surfel: int = 64,
-                       cull=None) -> StreamBinning:
+                       cull=None, interpret=None) -> StreamBinning:
     """center2d [N,2], ext [N,2] per-axis extents, depth [N], valid [N].
 
     ``dup_capacity`` (multiple of S_CHUNK) is the static stream size; on
@@ -137,6 +237,8 @@ def bin_surfels_stream(center2d, ext, depth, valid, width: int, height: int,
     candidates are evaluated (via the well-conditioned ratio ρ3d, which
     is second-order insensitive to f32 error in candidate locations).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     tiles_x = -(-width // tile_w)
     tiles_y = -(-height // tile_h)
     n_tiles = tiles_x * tiles_y
@@ -173,58 +275,61 @@ def bin_surfels_stream(center2d, ext, depth, valid, width: int, height: int,
         coefs_k = tuple(fco[:, i:i + 1] for i in range(13))
         ks = jnp.arange(CULL_KMAX, dtype=jnp.int32)[None, :]
         nx_safe = jnp.maximum(nx, 1)[:, None]
-        txk = x0[:, None] + ks % nx_safe
-        tyk = y0[:, None] + ks // nx_safe
+        kyk, kxk = _divmod_small(jnp.broadcast_to(ks, (n, CULL_KMAX)),
+                                 nx_safe)
+        txk = x0[:, None] + kxk
+        tyk = y0[:, None] + kyk
         passk = ((ks < rect_nt[:, None])
                  & _tile_can_contribute(coefs_k, txk, tyk, tile_w, tile_h))
         small = (rect_nt <= CULL_KMAX) & (vf > 0.5)
         exact_nt = jnp.sum(passk, axis=1).astype(jnp.int32)
         nt = jnp.where(small,
                        jnp.minimum(exact_nt, max_tiles_per_surfel), nt)
-        # compact list: passing tiles first, rect order preserved
+        # compact list: passing tiles first, rect order preserved. Entries
+        # are 4-bit RECT POSITIONS (k < K = 16) packed 8-per-int32 into
+        # TWO words, so the expansion below picks tile k with one select +
+        # one variable shift instead of a K-way select over K gathered
+        # rows (measured: 16 full-[cap] select passes ≈ 34 ms).
         keys = jnp.where(passk, ks, CULL_KMAX + ks)
-        tids_k = tyk * tiles_x + txk
-        _, tile_list = jax.lax.sort((keys, tids_k), num_keys=1,
-                                    is_stable=True)      # [N, K]
+        (keys_sorted,) = jax.lax.sort((keys,), num_keys=1,
+                                      is_stable=True)     # [N, K]
+        pos = keys_sorted % CULL_KMAX
+        nib = (jnp.arange(CULL_KMAX, dtype=jnp.int32) % 8) * 4
+        pos_pack = [jnp.sum(pos[:, j:j + 8] << nib[None, :8], axis=1,
+                            dtype=jnp.int32) for j in (0, 8)]
 
     dup_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                  jnp.cumsum(nt).astype(jnp.int32)])
     total = dup_start[-1]
 
-    # -- duplicate expansion: rank via marks+cumsum, then ONE fused gather
-    marks = jnp.zeros((cap,), jnp.int32).at[dup_start[1:-1]].add(
+    # -- duplicate expansion: rank via marks+cumsum, ONE row-major gather
+    # (XLA's fast gather form), then the Pallas _expand_kernel consumes
+    # the gathered rows in a single pass (transposing each block once in
+    # VMEM). Float columns (conic cull) ride along bitcast to i32.
+    capp = -(-cap // EXP_BLK) * EXP_BLK
+    marks = jnp.zeros((capp,), jnp.int32).at[dup_start[1:-1]].add(
         1, mode="drop")
     rank = jnp.minimum(jnp.cumsum(marks), n - 1)
-    # fused expansion table: everything indexed by rank in one gather;
-    # float columns (conic cull) ride along bitcast to i32
-    cols = [x0[:, None], y0[:, None], jnp.maximum(nx, 1)[:, None],
-            dup_start[:-1][:, None], order[:, None]]
+    # int columns enter bitcast to f32 ([N]-sized bitcasts are free) so
+    # the gathered table is f32 directly — the Pallas expansion kernel
+    # transposes f32 blocks and bitcasts int rows back lane-locally
+    as_f = lambda a: jax.lax.bitcast_convert_type(a.astype(jnp.int32),
+                                                  jnp.float32)
+    cols = [as_f(x0[:, None]), as_f(y0[:, None]),
+            as_f(jnp.maximum(nx, 1)[:, None]),
+            as_f(dup_start[:-1][:, None]), as_f(order[:, None])]
     if cull is not None:
-        cols.append(small[:, None].astype(jnp.int32))
-        cols.append(tile_list)
-        cols.append(jax.lax.bitcast_convert_type(fco, jnp.int32))
-    tbl = jnp.concatenate(cols, axis=1)         # [N, 5(+1+K+13)] i32
-    g = jnp.take(tbl, rank, axis=0)             # [cap, ...]
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    k = slot - g[:, 3]
-    tx = g[:, 0] + k % g[:, 2]
-    ty = g[:, 1] + k // g[:, 2]
-    tid = ty * tiles_x + tx
-    in_stream = slot < jnp.minimum(total, cap)
-    if cull is not None:
-        is_small = g[:, 5] > 0
-        tid_small = jnp.take_along_axis(
-            g[:, 6:6 + CULL_KMAX], jnp.clip(k, 0, CULL_KMAX - 1)[:, None],
-            axis=1)[:, 0]
-        tid = jnp.where(is_small, tid_small, tid)
-        # wide surfels: post-expansion cull (their rect enumeration stands)
-        fc = jax.lax.bitcast_convert_type(g[:, 6 + CULL_KMAX:], jnp.float32)
-        coefs = tuple(fc[:, i] for i in range(13))
-        wide_ok = _tile_can_contribute(coefs, tid % tiles_x,
-                                       tid // tiles_x, tile_w, tile_h)
-        in_stream &= is_small | wide_ok
-    tile_id = jnp.where(in_stream, tid, sentinel)
-    surf_id = jnp.where(in_stream, g[:, 4], n)
+        cols.append(as_f(small[:, None]))
+        cols.append(as_f(pos_pack[0][:, None]))
+        cols.append(as_f(pos_pack[1][:, None]))
+        cols.append(fco)
+    tbl = jnp.concatenate(cols, axis=1)         # [N, 5(+3+13)] f32
+    g = jnp.take(tbl, rank, axis=0, mode="clip")    # [capp, rows]
+    tile_id, surf_id = _expand_stream(
+        g, jnp.minimum(total, cap), tiles_x, tile_w, tile_h, n, sentinel,
+        cull is not None, interpret)
+    tile_id = tile_id[:cap]
+    surf_id = surf_id[:cap]
 
     # -- stable single-key sort: depth order within each tile is preserved
     s_tile, s_surf = jax.lax.sort((tile_id, surf_id), num_keys=1,
