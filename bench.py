@@ -128,7 +128,8 @@ def main():
     if "--semantic" in sys.argv:
         return semantic_main()
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    n = (int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit()
+         else 300_000)
     W, H, f = 1920, 1280, 1000.0
     iters = 10
 

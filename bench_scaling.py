@@ -28,6 +28,79 @@ else:
 import numpy as np
 
 
+def decompose():
+    """Per-device ADDED-WORK decomposition at the bench scene's REAL shape
+    (300k surfels, 1920x1280 — not the 256^2 toy: overhead ratios there
+    don't transfer; VERDICT r2 weak #1). For each mesh width reports, per
+    tile-device: static duplicate capacity, measured duplicate count, sort
+    size, visit count, and the duplicated per-surfel work (preprocess +
+    depth argsort + record pack run over the FULL N on every device).
+    Pure binning math — no train step, so it runs on CPU in minutes.
+
+    Prints one JSON line per device count.
+    """
+    import jax.numpy as jnp
+    from bench import build_scene
+    from streetunveiler_tpu.ops.rasterizer.api import (
+        default_duplicate_capacity)
+    from streetunveiler_tpu.ops.rasterizer.kernel import TILE_H, TILE_W
+    from streetunveiler_tpu.ops.rasterizer.preprocess import (
+        preprocess_surfels)
+    from streetunveiler_tpu.ops.rasterizer.tiles import (S_CHUNK,
+                                                         bin_surfels_stream)
+    from streetunveiler_tpu.ops.rasterizer.types import RasterizeSettings
+
+    n = 300_000
+    W, H, f = 1920, 1280, 1000.0
+    pts, scales, quats, opac, cols, _ = build_scene(n)
+    w2c = jnp.eye(4)
+    full_cap = default_duplicate_capacity(n, W, H)
+
+    def slab_duplicates(n_tile):
+        """Measured duplicates/visits of each slab crop (exact crop via
+        principal-point shift, as parallel/shard.py does)."""
+        slab = H // n_tile
+        cap = (full_cap if n_tile == 1
+               else -(-(2 * full_cap // n_tile) // 128) * 128)
+        dups, visits, ovf = [], [], 0
+        for t in range(n_tile):
+            K = jnp.array([[f, 0, W / 2], [0, f, H / 2 - t * slab],
+                           [0, 0, 1]], jnp.float32)
+            st = RasterizeSettings(width=W, height=slab, znear=0.2,
+                                   zfar=100.0)
+            sur = preprocess_surfels(jnp.asarray(pts), jnp.asarray(scales),
+                                     jnp.asarray(quats), jnp.asarray(opac),
+                                     jnp.asarray(cols), w2c, K, st)
+            b = bin_surfels_stream(sur.center2d, sur.ext, sur.depth,
+                                   sur.valid, W, slab, TILE_W, TILE_H, cap,
+                                   cull=sur.cull)
+            n_dup = int(b.tile_offsets[-1])
+            dups.append(n_dup)
+            visits.append(int(jnp.sum(b.first_of_tile >= 0)))
+            ovf += int(b.overflow)
+        return cap, dups, visits, ovf
+
+    base = None
+    for nd in (1, 2, 4, 8):
+        cap, dups, visits, ovf = slab_duplicates(nd)
+        tot = sum(dups)
+        if base is None:
+            base = tot
+        print(json.dumps({
+            "devices": nd,
+            "dup_capacity_per_device": cap,
+            "dup_measured_per_device": dups,
+            "dup_total_vs_1dev": round(tot / base, 4),
+            "sort_rows_per_device": cap,
+            "visits_per_device": visits,
+            "overflowed_slabs": ovf,
+            # work that does NOT shrink with devices today: per-surfel
+            # preprocess, depth argsort and the [rec,N] record pack all
+            # run over the full N on every device
+            "per_surfel_work_duplication": nd,
+        }), flush=True)
+
+
 def main():
     import jax.numpy as jnp
     from bench import build_scene
@@ -84,4 +157,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    decompose() if "--decompose" in sys.argv else main()

@@ -39,13 +39,48 @@ def default_duplicate_capacity(n_surfels: int, width: int, height: int,
     return -(-cap // S_CHUNK) * S_CHUNK
 
 
+def bin_for_camera(means3d, scales, quats, opacities, w2c, K,
+                   settings: RasterizeSettings,
+                   max_tiles_per_surfel: int = 64,
+                   duplicate_capacity: int | None = None,
+                   interpret: bool | None = None):
+    """Preprocess + tile binning alone → ``StreamBinning`` (stop-grad).
+
+    Run this as its OWN jit and pass the result to ``rasterize(...,
+    binning=...)`` (a "two-phase" step): the binning is stop-gradient by
+    construction, and feeding the visit schedule to the blend kernels as
+    top-level executable arguments avoids the Mosaic scalar-prefetch
+    composition tax (~13 ms/direction at the bench shape, measured by
+    tools/probe_compose*.py). ``StreamBinning.tiles_x/tiles_y`` come back
+    as traced ints from a jitted call — restore them with
+    ``binning._replace(tiles_x=..., tiles_y=...)`` host-side (static
+    values; no device sync needed).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = means3d.shape[0]
+    if duplicate_capacity is None:
+        duplicate_capacity = default_duplicate_capacity(
+            n, settings.width, settings.height)
+    zeros3 = jnp.zeros((n, 3))
+    sur = preprocess_surfels(means3d, scales, quats, opacities, zeros3,
+                             w2c, K, settings)
+    sg = jax.lax.stop_gradient
+    return bin_surfels_stream(sg(sur.center2d), sg(sur.ext), sg(sur.depth),
+                              sur.valid, settings.width, settings.height,
+                              TILE_W, TILE_H, duplicate_capacity,
+                              max_tiles_per_surfel, cull=sg(sur.cull),
+                              interpret=interpret)
+
+
 def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
               settings: RasterizeSettings, bg=None,
               max_tiles_per_surfel: int = 64,
               duplicate_capacity: int | None = None,
               center2d_offset=None,
               interpret: bool | None = None,
-              extra_payload=None, class_gates=None) -> RenderOutput:
+              extra_payload=None, class_gates=None,
+              binning=None) -> RenderOutput:
     """Differentiable tiled 2DGS render (Pallas TPU kernels).
 
     Same semantics as ``rasterize_oracle`` (tested to match); activated
@@ -95,11 +130,18 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
                       else jnp.concatenate([pack_extra, grow], axis=1))
 
     sg = jax.lax.stop_gradient
-    binning = bin_surfels_stream(sg(sur.center2d), sg(sur.ext),
-                                 sg(sur.depth), sur.valid, settings.width,
-                                 settings.height, TILE_W, TILE_H,
-                                 duplicate_capacity, max_tiles_per_surfel,
-                                 cull=sg(sur.cull), interpret=interpret)
+    if binning is None:
+        binning = bin_surfels_stream(sg(sur.center2d), sg(sur.ext),
+                                     sg(sur.depth), sur.valid,
+                                     settings.width, settings.height,
+                                     TILE_W, TILE_H, duplicate_capacity,
+                                     max_tiles_per_surfel,
+                                     cull=sg(sur.cull), interpret=interpret)
+    # else: a precomputed StreamBinning (``bin_for_camera``) — the
+    # scalar-prefetch operands then enter the blend kernels as TOP-LEVEL
+    # jit arguments, which sidesteps the Mosaic dynamic-scalar-prefetch
+    # tax (docs/profile.md "composition overhead"): visit arrays produced
+    # inside the SAME executable cost ~13 ms/direction extra.
 
     # lane-axis gather of the packed records — the step's one unavoidable
     # per-duplicate gather; builds the kernels' [rec, cap] layout directly

@@ -410,9 +410,13 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
         gidx = chunk_of_ref[v] * s + iota_s
         keep = (a > 0.0) & (gidx <= lk)
         klogom = jnp.where(keep, jnp.log1p(-a), 0.0)
-        # T_excl_j = U_in / Π_{kept i≥j}(1−α_i): inclusive reverse suffix
-        t_excl = u_in * jnp.exp(-_mm_precise(klogom,
-                                             _prefix_mat(s, "sincl")))
+        # T_excl_j = U_in / Π_{kept i≥j}(1−α_i): inclusive reverse suffix.
+        # Single-pass DEFAULT here (vs the forward's exact hi/lo split):
+        # t_excl only reconstructs GRADIENT weights, the same precision
+        # class already accepted for ssuf_pair/gq_qc/dq — one bf16
+        # rounding of logα (|err| ≤ 2⁻⁸ relative in the exponent) is well
+        # inside FD-parity tolerance and saves one MXU pass per visit.
+        t_excl = u_in * jnp.exp(-_mm(klogom, _prefix_mat(s, "sincl")))
         u_out = u_in * jnp.exp(-jnp.sum(klogom, axis=1, keepdims=True))
         w = jnp.where(keep, a * t_excl, 0.0)
 
@@ -470,7 +474,9 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
                     ag = a * gates[g]
                     keep_g = (ag > 0.0) & (gidx.astype(jnp.float32) <= lkg)
                     klg = jnp.where(keep_g, jnp.log1p(-ag), 0.0)
-                    tg_excl = ug_in * jnp.exp(-_mm_precise(
+                    # single-pass DEFAULT: gradient-class precision (see
+                    # the main chain's t_excl comment)
+                    tg_excl = ug_in * jnp.exp(-_mm(
                         klg, _prefix_mat(s, "sincl")))
                     wg = jnp.where(keep_g, ag * tg_excl, 0.0)
                     omg = ga + gm1g * m + gm2g * m * m
