@@ -43,6 +43,7 @@ def bin_for_camera(means3d, scales, quats, opacities, w2c, K,
                    settings: RasterizeSettings,
                    max_tiles_per_surfel: int = 64,
                    duplicate_capacity: int | None = None,
+                   center2d_offset=None,
                    interpret: bool | None = None):
     """Preprocess + tile binning alone → ``StreamBinning`` (stop-grad).
 
@@ -51,10 +52,13 @@ def bin_for_camera(means3d, scales, quats, opacities, w2c, K,
     construction, and feeding the visit schedule to the blend kernels as
     top-level executable arguments avoids the Mosaic scalar-prefetch
     composition tax (~13 ms/direction at the bench shape, measured by
-    tools/probe_compose*.py). ``StreamBinning.tiles_x/tiles_y`` come back
-    as traced ints from a jitted call — restore them with
-    ``binning._replace(tiles_x=..., tiles_y=...)`` host-side (static
-    values; no device sync needed).
+    tools/probe_compose*.py / probe_split.py). ``tiles_x``/``tiles_y``
+    are static pytree aux-data, so the result crosses jit boundaries
+    intact — no host-side fixup.
+
+    ``center2d_offset`` mirrors ``rasterize``'s densification grad-tap
+    reparameterization so a two-phase step culls/bins the same geometry
+    (the offset is numerically zero in training; it exists for grads).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -64,7 +68,8 @@ def bin_for_camera(means3d, scales, quats, opacities, w2c, K,
             n, settings.width, settings.height)
     zeros3 = jnp.zeros((n, 3))
     sur = preprocess_surfels(means3d, scales, quats, opacities, zeros3,
-                             w2c, K, settings)
+                             w2c, K, settings,
+                             center2d_offset=center2d_offset)
     sg = jax.lax.stop_gradient
     return bin_surfels_stream(sg(sur.center2d), sg(sur.ext), sg(sur.depth),
                               sur.valid, settings.width, settings.height,
@@ -97,7 +102,13 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
     grid, and the backward's single pair vjp): ``out.class_dist``
     [H, W, G] holds each class's gated depth-distortion map — the
     reference's 5 per-class rasterizations (train.py:94-105) at the
-    marginal cost of the extra transmittance recurrences."""
+    marginal cost of the extra transmittance recurrences.
+
+    ``binning``: a precomputed ``StreamBinning`` from ``bin_for_camera``
+    (the two-phase step). The binning's OWN capacities rule:
+    ``duplicate_capacity`` / ``max_tiles_per_surfel`` passed here are
+    ignored (asserted consistent when explicit) — the stream shape and
+    visit schedule were fixed when the binning was built."""
     if interpret is None:
         # Mosaic only compiles for TPU; tests/virtual-device meshes run on
         # the CPU backend through the Pallas interpreter.
@@ -109,7 +120,16 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
             f"the blend kernel is templated for 3 color channels, got {c}; "
             "render multi-channel payloads in triples like the reference's "
             "semantic passes (gaussian_renderer/__init__.py:347-369)")
-    if duplicate_capacity is None:
+    if binning is not None:
+        # the precomputed stream's shape rules; an explicit mismatching
+        # capacity is a caller bug (ADVICE r3)
+        assert (duplicate_capacity is None
+                or duplicate_capacity == binning.sorted_surfel.shape[0]), (
+            f"binning built with duplicate_capacity="
+            f"{binning.sorted_surfel.shape[0]}, rasterize called with "
+            f"{duplicate_capacity}")
+        duplicate_capacity = binning.sorted_surfel.shape[0]
+    elif duplicate_capacity is None:
         duplicate_capacity = default_duplicate_capacity(
             n, settings.width, settings.height)
 

@@ -30,7 +30,7 @@ adjacency properties the kernels rely on:
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -43,8 +43,16 @@ CULL_KMAX = 16  # AABB tile-span up to which the conic cull runs BEFORE
 #                 wider surfels fall back to post-expansion culling
 
 
-class StreamBinning(NamedTuple):
-    """Compact sorted duplicate stream + (tile, chunk) visit schedule."""
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StreamBinning:
+    """Compact sorted duplicate stream + (tile, chunk) visit schedule.
+
+    ``tiles_x``/``tiles_y`` are STATIC pytree aux-data (they derive from
+    the static image size), so a ``StreamBinning`` returned from a jitted
+    ``bin_for_camera`` crosses the jit boundary with concrete grid ints —
+    the blend kernels' nondiff/static arguments never see tracers and the
+    two-phase step needs no host-side fixup."""
 
     sorted_surfel: jnp.ndarray   # [cap] i32 surfel per duplicate; n = pad
     tile_offsets: jnp.ndarray    # [T+1] i32 CSR offsets into the stream
@@ -55,9 +63,13 @@ class StreamBinning(NamedTuple):
     init_rev: jnp.ndarray        # [V] i32 1 = chunk's first visit in REVERSE
     lane_lo: jnp.ndarray         # [V] i32 first lane of this tile's range
     lane_hi: jnp.ndarray         # [V] i32 one-past-last lane
-    tiles_x: int
-    tiles_y: int
     overflow: jnp.ndarray        # [] bool — capacity exceeded
+    tiles_x: int = dataclasses.field(metadata=dict(static=True), default=0)
+    tiles_y: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    def _replace(self, **kw):
+        """NamedTuple-compatible shim (pre-round-4 callers)."""
+        return dataclasses.replace(self, **kw)
 
 
 def visit_capacity(dup_capacity: int, tiles_x: int, tiles_y: int) -> int:

@@ -216,3 +216,46 @@ def test_empty_tiles_zeroed_in_kernel():
     gr = jax.grad(loss_ref)(args[0])
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_two_phase_binning_matches_single_jit(scene):
+    """bin_for_camera → rasterize(binning=...) across SEPARATE jit
+    boundaries must equal the single-jit path exactly (outputs and all
+    five input gradients), with no host-side fixup: tiles_x/tiles_y are
+    static pytree aux-data on StreamBinning (ADVICE r3 high)."""
+    from streetunveiler_tpu.ops.rasterizer.api import (
+        bin_for_camera, default_duplicate_capacity)
+    args, w2c, K, st = scene
+    cap = default_duplicate_capacity(args[0].shape[0], st.width, st.height)
+
+    def loss(m, sc, q, o, c, binning=None):
+        out = rasterize(m, sc, q, o, c, w2c, K, st, bg=jnp.zeros(3),
+                        duplicate_capacity=None if binning is not None
+                        else cap, binning=binning)
+        return (jnp.sum(out.color ** 2) + 0.01 * jnp.sum(out.distortion)
+                + 0.01 * jnp.sum(out.normal ** 2)), out
+
+    gfn = jax.grad(loss, argnums=(0, 1, 2, 3, 4), has_aux=True)
+    g1, out1 = jax.jit(gfn)(*args)
+
+    jit_bin = jax.jit(lambda m, sc, q, o: bin_for_camera(
+        m, sc, q, o, w2c, K, st, duplicate_capacity=cap))
+    b = jit_bin(*args[:4])
+    assert isinstance(b.tiles_x, int) and isinstance(b.tiles_y, int)
+    g2, out2 = jax.jit(gfn)(*args, b)
+
+    for a, c2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c2),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(out1.color, out2.color, atol=1e-6)
+    np.testing.assert_allclose(out1.distortion, out2.distortion, atol=1e-6)
+
+
+def test_rasterize_rejects_mismatched_binning_capacity(scene):
+    """An explicit duplicate_capacity that disagrees with the supplied
+    binning's stream shape is a caller bug → assert (ADVICE r3 low)."""
+    from streetunveiler_tpu.ops.rasterizer.api import bin_for_camera
+    args, w2c, K, st = scene
+    b = bin_for_camera(*args[:4], w2c, K, st, duplicate_capacity=512)
+    with pytest.raises(AssertionError):
+        rasterize(*args, w2c, K, st, duplicate_capacity=1024, binning=b)

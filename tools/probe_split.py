@@ -78,10 +78,8 @@ def main():
     def jit_grad(m, sc, q, o, c, binning):
         return gfn2(m, sc, q, o, c, binning=binning)[0]
 
-    b0 = jit_bin(*args[:4])
-    tiles_x, tiles_y = -(-W // 32), -(-H // 16)
-    fix = lambda b: b._replace(tiles_x=tiles_x, tiles_y=tiles_y)
-    jax.block_until_ready(jit_grad(*args, fix(b0)))
+    b0 = jit_bin(*args[:4])   # tiles_x/tiles_y are static aux-data now
+    jax.block_until_ready(jit_grad(*args, b0))
 
     # distinct device-resident inputs (defeat dedup, no eager glue)
     inputs = [jax.block_until_ready(args[0] + i * 1e-6)
@@ -89,7 +87,7 @@ def main():
     outs = []
     t0 = time.perf_counter()
     for i in range(ITERS):
-        b = fix(jit_bin(inputs[i], *args[1:4]))
+        b = jit_bin(inputs[i], *args[1:4])
         outs.append(jit_grad(inputs[i], *args[1:], b))
     for o in outs:
         jax.block_until_ready(o)
