@@ -102,7 +102,7 @@ def map_depth(t, znear, zfar):
     return (zfar / (zfar - znear)) * (1.0 - znear / tsafe)
 
 
-def chunk_weights(alpha, t_carry, done_carry):
+def chunk_weights(alpha, t_carry, done_carry, t_eps=T_EPS):
     """Compositing weights for one depth-sorted chunk.
 
     alpha: [S, P] (zeroed for non-contributing pairs); t_carry: [P] incoming
@@ -110,8 +110,8 @@ def chunk_weights(alpha, t_carry, done_carry):
 
     Returns (w [S,P], t_excl [S,P], t_out [P], done_out [P]) where ``w`` is
     the blending weight α·T_excl with the reference's early-termination rule:
-    a surfel whose post-blend transmittance would drop below T_EPS is *not*
-    composited and freezes the pixel (CUDA's loop break).
+    a surfel whose post-blend transmittance would drop below ``t_eps`` is
+    *not* composited and freezes the pixel (CUDA's loop break; 0 disables).
     """
     one_minus = 1.0 - alpha
     cum_incl = jnp.cumprod(one_minus, axis=0)
@@ -119,7 +119,7 @@ def chunk_weights(alpha, t_carry, done_carry):
         [jnp.ones_like(cum_incl[:1]), cum_incl[:-1]], axis=0)
     t_after = t_carry[None, :] * cum_incl
 
-    trigger = (alpha > 0.0) & (t_after < T_EPS)
+    trigger = (alpha > 0.0) & (t_after < t_eps)
     dead = jnp.logical_or(jnp.cumsum(trigger.astype(jnp.int32), axis=0) > 0,
                           done_carry[None, :])
     keep = (alpha > 0.0) & jnp.logical_not(dead)

@@ -125,6 +125,13 @@ def _mm_precise(a, b):
     relayout, which is what makes .astype(bf16) splits slow on TPU);
     hi converts to bf16 losslessly inside the MXU, and |lo| ≤ 2⁻⁸|a| so
     its single-pass error is ≤ 2⁻¹⁶ relative — f32-class for ≤128 terms.
+
+    This error does NOT compound across a tile's chunk chain: the
+    transmittance CARRY (``t_out``) is an exact VPU lane sum, so the
+    matmul only shapes the per-pair weights within one chunk (a 3-pass
+    fully-exact split was tried round 4 and measured zero parity benefit
+    — the residual kernel-vs-oracle drift is the early-termination
+    knife-edge, see tools/verify_device_parity.py — at +1 MXU pass).
     """
     bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
     hi = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000),
@@ -171,7 +178,7 @@ def _payload_sums(w, qc, nq):
 
 def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
                 rec_ref, acc_ref, lk_ref, state_ref, *, tiles_x, znear,
-                zfar, nq=NQ, n_gates=0, gate_row=0):
+                zfar, t_eps=T_EPS, nq=NQ, n_gates=0, gate_row=0):
     ch = ch_for(nq)
     s = S_CHUNK
     G = n_gates
@@ -222,8 +229,8 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
         # trigger via a SUM reduction: Mosaic lowers lane-wide max/any
         # reductions pathologically (measured ~half the whole kernel across
         # med/lk/trigger, tools/bisect_fwd.py); sums are fast.
-        keep = (a > 0.0) & (t_after >= T_EPS) & jnp.logical_not(done)
-        trigf = jnp.where((a > 0.0) & (t_after < T_EPS), 1.0, 0.0)
+        keep = (a > 0.0) & (t_after >= t_eps) & jnp.logical_not(done)
+        trigf = jnp.where((a > 0.0) & (t_after < t_eps), 1.0, 0.0)
         trigger_any = jnp.sum(trigf, axis=1, keepdims=True) > 0.5
         w = jnp.where(keep, a * t_excl, 0.0)
 
@@ -290,10 +297,10 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
                     tg_excl = tg_carry * jnp.exp(
                         _mm_precise(logom_g, _prefix_mat(s, "excl")))
                     tg_after = tg_excl * (1.0 - ag)
-                    keep_g = ((ag > 0.0) & (tg_after >= T_EPS)
+                    keep_g = ((ag > 0.0) & (tg_after >= t_eps)
                               & jnp.logical_not(done_g))
                     trig_g = jnp.sum(
-                        jnp.where((ag > 0.0) & (tg_after < T_EPS), 1.0, 0.0),
+                        jnp.where((ag > 0.0) & (tg_after < t_eps), 1.0, 0.0),
                         axis=1, keepdims=True) > 0.5
                     wg = jnp.where(keep_g, ag * tg_excl, 0.0)
                     wgm = wg * m
@@ -411,12 +418,16 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
         keep = (a > 0.0) & (gidx <= lk)
         klogom = jnp.where(keep, jnp.log1p(-a), 0.0)
         # T_excl_j = U_in / Π_{kept i≥j}(1−α_i): inclusive reverse suffix.
-        # Single-pass DEFAULT here (vs the forward's exact hi/lo split):
-        # t_excl only reconstructs GRADIENT weights, the same precision
-        # class already accepted for ssuf_pair/gq_qc/dq — one bf16
-        # rounding of logα (|err| ≤ 2⁻⁸ relative in the exponent) is well
-        # inside FD-parity tolerance and saves one MXU pass per visit.
-        t_excl = u_in * jnp.exp(-_mm(klogom, _prefix_mat(s, "sincl")))
+        # _mm_precise is REQUIRED here, unlike the linear contractions
+        # (ssuf_pair/gq_qc/dq, whose 2⁻⁸ rounding hits individual TERMS):
+        # this matmul's error lands in an EXPONENT, so a single-pass bf16
+        # rounding of the suffix sum (≤ 2⁻⁸·|log suffix|, and |log| runs
+        # to |log t_eps| ≈ 9 on dense-occlusion tiles) amplifies to
+        # percent-level weight error — round 3 downgraded this to _mm and
+        # tools/verify_device_parity.py measured 12% l2 gradient error on
+        # its dense scene; with _mm_precise the same check is ~1e-4.
+        t_excl = u_in * jnp.exp(-_mm_precise(klogom,
+                                             _prefix_mat(s, "sincl")))
         u_out = u_in * jnp.exp(-jnp.sum(klogom, axis=1, keepdims=True))
         w = jnp.where(keep, a * t_excl, 0.0)
 
@@ -474,9 +485,9 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
                     ag = a * gates[g]
                     keep_g = (ag > 0.0) & (gidx.astype(jnp.float32) <= lkg)
                     klg = jnp.where(keep_g, jnp.log1p(-ag), 0.0)
-                    # single-pass DEFAULT: gradient-class precision (see
-                    # the main chain's t_excl comment)
-                    tg_excl = ug_in * jnp.exp(-_mm(
+                    # _mm_precise: exponent-path precision, see the main
+                    # chain's t_excl comment
+                    tg_excl = ug_in * jnp.exp(-_mm_precise(
                         klg, _prefix_mat(s, "sincl")))
                     wg = jnp.where(keep_g, ag * tg_excl, 0.0)
                     omg = ga + gm1g * m + gm2g * m * m
@@ -579,6 +590,7 @@ def _blend_fwd_call(recT, tile_of, chunk_of, first_f, lo, hi,
     ch = ch_for(nq) + 4 * n_gates
     kern = functools.partial(_fwd_kernel, tiles_x=tiles_x,
                              znear=settings.znear, zfar=settings.zfar,
+                             t_eps=settings.t_eps,
                              nq=nq, n_gates=n_gates, gate_row=gate_row)
     acc, lk = pl.pallas_call(
         kern,

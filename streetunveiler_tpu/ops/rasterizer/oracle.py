@@ -49,10 +49,17 @@ def _blend_block(px, py, sur_sorted, settings, chunk_surfels):
 
         alpha, t = pair_alpha_depth(m_rows, c2d, cdepth, opac, valid,
                                     px, py, settings.znear)
-        w, t_excl, t_out, done_out = chunk_weights(alpha, t_carry, done)
+        w, t_excl, t_out, done_out = chunk_weights(alpha, t_carry, done,
+                                                   t_eps=settings.t_eps)
 
-        color = color + w.T @ col                      # [P,C]
-        normal_a = normal_a + w.T @ nrm                # [P,3]
+        # HIGHEST precision: on TPU a DEFAULT-precision matmul is bf16
+        # (~2⁻⁸ relative) — the oracle must stay f32-exact to be an
+        # oracle (found round 4: 3e-3 "kernel" drift was the oracle's own
+        # w.T @ col rounding on device; tools/verify_device_parity.py)
+        hp = functools.partial(jnp.matmul,
+                               precision=jax.lax.Precision.HIGHEST)
+        color = color + hp(w.T, col)                   # [P,C]
+        normal_a = normal_a + hp(w.T, nrm)             # [P,3]
         depth_a = depth_a + jnp.sum(w * t, axis=0)     # [P]
 
         m = map_depth(t, settings.znear, settings.zfar)

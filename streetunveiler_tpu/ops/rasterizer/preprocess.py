@@ -70,16 +70,23 @@ def preprocess_surfels(means3d, scales, quats, opacities, colors,
     its zero ``means2D`` proxy tensor (SURVEY.md §7.4,
     ``gaussian_renderer/__init__.py:28-33``).
     """
+    # HIGHEST-precision 3-wide matmuls: on TPU a DEFAULT-precision matmul
+    # is bf16 — geometry quantized at 2⁻⁸ relative (≈0.4 px of center
+    # wobble at street depths; found round 4 when on-device FD showed the
+    # loss INSENSITIVE to 3e-4 position moves). These contractions are
+    # width-3, nowhere near the MXU's profitable regime, so exact f32
+    # costs nothing.
+    hp = lambda x, y: jnp.matmul(x, y, precision=jax.lax.Precision.HIGHEST)
     R = w2c[:3, :3]
     t = w2c[:3, 3]
-    c_view = means3d @ R.T + t                       # [N,3]
+    c_view = hp(means3d, R.T) + t                    # [N,3]
     depth = c_view[:, 2]
 
     rot = quat_to_rotmat(quats)                      # [N,3,3]
     s = scales * settings.scale_modifier
-    a = (rot[:, :, 0] @ R.T) * s[:, 0:1]             # [N,3] view-space u-axis
-    b = (rot[:, :, 1] @ R.T) * s[:, 1:2]             # [N,3] view-space v-axis
-    n = rot[:, :, 2] @ R.T                           # [N,3] view-space normal
+    a = hp(rot[:, :, 0], R.T) * s[:, 0:1]            # [N,3] view-space u-axis
+    b = hp(rot[:, :, 1], R.T) * s[:, 1:2]            # [N,3] view-space v-axis
+    n = hp(rot[:, :, 2], R.T)                        # [N,3] view-space normal
 
     # Flip normals toward the camera (ray dir ≈ center dir in view space).
     facing = jnp.sum(n * c_view, axis=-1)
@@ -97,8 +104,8 @@ def preprocess_surfels(means3d, scales, quats, opacities, colors,
 
     # M columns: K'a | K'b | (x2d·z, y2d·z, z) — the third column rebuilt
     # from the (tapped) screen center; identical values, exact gradients.
-    col_a = a @ Kp.T
-    col_b = b @ Kp.T
+    col_a = hp(a, Kp.T)
+    col_b = hp(b, Kp.T)
     col_c = jnp.stack([center2d[:, 0] * zsafe, center2d[:, 1] * zsafe,
                        depth], axis=-1)
     M = jnp.stack([col_a, col_b, col_c], axis=-1)    # [N,3,3]

@@ -29,6 +29,18 @@ class RasterizeSettings:
     zfar: float = dataclasses.field(default=100.0, metadata=dict(static=True))
     # depth range used by the distortion mapping (reference kernel behavior)
     scale_modifier: float = dataclasses.field(default=1.0, metadata=dict(static=True))
+    # Early-termination transmittance (the reference CUDA loop break).
+    # The trigger comparison ``t_after < t_eps`` is a knife-edge on f32
+    # rounding: implementations that compute T differently (cumprod vs
+    # log-space; CUDA vs XLA vs Mosaic) flip which pair triggers at a few
+    # pixels, each flip moving one weight of up to t_eps·a/(1−a) — an
+    # inherent, bounded reimplementation discrepancy. Set 0.0 to disable
+    # termination entirely (exact-parity testing; slower on deep scenes).
+    # FORWARD-ONLY: the Pallas backward reconstructs per-pair
+    # transmittance by dividing suffix products out of the saved final T,
+    # so it needs the termination floor T ≳ t_eps — at 0.0 the final T
+    # underflows f32 on deep occlusion stacks and gradients explode.
+    t_eps: float = dataclasses.field(default=T_EPS, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass

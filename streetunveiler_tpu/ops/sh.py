@@ -15,6 +15,7 @@ reference uses). Everything is vmap/jit/grad friendly with static degree.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 C0 = 0.28209479177387814
@@ -90,7 +91,11 @@ def eval_sh(degree: int, sh_coeffs, dirs):
     """
     basis = sh_basis(dirs, degree)  # [..., B]
     k = num_sh_bases(degree)
-    return jnp.einsum("...k,...kc->...c", basis, sh_coeffs[..., :k, :])
+    # HIGHEST: a DEFAULT-precision einsum is bf16 on TPU — surfel colors
+    # quantized at 2⁻⁸ (0.4%); this contraction is K ≤ 16 wide, exact
+    # f32 costs nothing (found round 4, tools/verify_device_parity.py)
+    return jnp.einsum("...k,...kc->...c", basis, sh_coeffs[..., :k, :],
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def rgb_to_sh(rgb):

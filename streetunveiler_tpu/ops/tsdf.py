@@ -49,7 +49,8 @@ def integrate_tsdf(vol: TSDFVolume, depth, color, w2c, K,
     pts = jnp.stack([xs, ys, zs], -1).reshape(-1, 3) * vol.voxel_size
     pts = pts + vol.origin
 
-    v = pts @ w2c[:3, :3].T + w2c[:3, 3]
+    v = jnp.matmul(pts, w2c[:3, :3].T,
+                   precision=jax.lax.Precision.HIGHEST) + w2c[:3, 3]
     z = v[:, 2]
     u = v[:, 0] / jnp.maximum(z, 1e-6) * K[0, 0] + K[0, 2]
     w_ = v[:, 1] / jnp.maximum(z, 1e-6) * K[1, 1] + K[1, 2]

@@ -74,7 +74,8 @@ class Camera:
         """Transposed (proj @ w2c), reference ``scene/cameras.py:66-70``."""
         proj = projection_matrix(self.znear, self.zfar, self.fovx, self.fovy,
                                  K=self.K, width=self.width, height=self.height)
-        return (proj @ self.w2c).T
+        return jnp.matmul(proj, self.w2c,
+                          precision=jax.lax.Precision.HIGHEST).T
 
     def resize(self, scale: float) -> "Camera":
         """Camera for an image downscaled by ``scale`` (reference resolution
