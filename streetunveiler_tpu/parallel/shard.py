@@ -67,7 +67,8 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
                             semantics: bool = False,
                             class_dist: bool = False,
                             sky: bool = False,
-                            sky_lr: float = 1e-4):
+                            sky_lr: float = 1e-4,
+                            two_phase: bool = True):
     """Build the jitted multi-chip training step.
 
     Step signature:
@@ -94,6 +95,16 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
     all-gathers the parameters for rendering, reduce-scatters the
     gradients back to shards, and applies Adam on the local shard only.
     Requires capacity % mesh.shape['data'] == 0.
+
+    ``two_phase``: slab binning runs in its OWN jitted executable and the
+    visit schedule enters the grad executable as top-level arguments —
+    the multi-chip form of the single-chip two-phase step (the blend
+    kernels' scalar-prefetch operands computed in the same executable
+    cost ~13 ms/direction on TPU, docs/profile.md). The returned callable
+    keeps the one-call signature; it chains the two executables
+    host-side (dispatch is async). Under ``shard_surfels`` the bin phase
+    re-gathers the 4 geometry leaves (xyz/scaling/rotation/opacity —
+    NOT the dominant SH features) along 'data', a small added collective.
     """
     n_tile = mesh.shape["tile"]
     slab = height // n_tile
@@ -116,7 +127,7 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
         return -(-(2 * full // n_tile) // 128) * 128
 
     def local_loss(params, aux_state, w2c, K, gt_slab, gt_sem_slab, bg,
-                   iteration, row0, c2d_off, sky_p):
+                   iteration, row0, c2d_off, sky_p, binning=None):
         state = dataclasses.replace(aux_state, params=params)
         # shifting the principal point by the slab row is an exact crop
         Kslab = K.at[1, 2].add(-row0.astype(jnp.float32))
@@ -134,7 +145,8 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
         res = render(cam, state, bg, active_sh_degree=active_sh,
                      center2d_offset=c2d_off, interpret=interpret,
                      duplicate_capacity=slab_capacity(params.xyz.shape[0]),
-                     extra_payload=extra, class_gates=gates)
+                     extra_payload=extra, class_gates=gates,
+                     binning=binning)
         image = res.render
         if sky:
             from ..models.sky import render_sky
@@ -172,24 +184,50 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
             overflow=jnp.asarray(res.overflow).astype(jnp.float32))
         return loss, (image, res.radii, stats)
 
+    def bin_local(params, aux_state, w2c_b, k_b):
+        """Per-device phase-1: slab binning for each local camera.
+
+        Returns a StreamBinning pytree with leading [1(tile), B_local]
+        axes so the out_spec P('tile', 'data') reassembles the global
+        [n_tile, B, ...] arrays (each (data, tile) device bins its OWN
+        slab crop — the content varies along both mesh axes)."""
+        from ..renderer import bin_camera
+        row0 = jax.lax.axis_index("tile") * slab
+        state = dataclasses.replace(aux_state, params=params)
+
+        def one_cam(w2c, K):
+            Kslab = K.at[1, 2].add(-row0.astype(jnp.float32))
+            cam = Camera(w2c=w2c, K=Kslab, width=width, height=slab)
+            return bin_camera(cam, state, interpret=interpret,
+                              duplicate_capacity=slab_capacity(
+                                  params.xyz.shape[0]))
+
+        b = jax.vmap(one_cam)(w2c_b, k_b)
+        return jax.tree.map(lambda l: l[None], b)
+
     def sharded_grads(params, aux_state, w2c_b, k_b, gt_b, gt_sem_b, bg,
-                      iteration, sky_p=None):
+                      iteration, sky_p=None, binning=None):
         """Runs per-device: local camera batch × local slab."""
         row0 = jax.lax.axis_index("tile") * slab
         zeros2d = jnp.zeros((params.xyz.shape[0], 2))
         argnums = (0, 9, 10) if sky else (0, 9)
 
-        def one_cam(w2c, K, gt_slab, gt_sem_slab):
+        def one_cam(w2c, K, gt_slab, gt_sem_slab, bn=None):
             (loss, aux), grads = jax.value_and_grad(
                 local_loss, argnums=argnums, has_aux=True)(
                 params, aux_state, w2c, K, gt_slab, gt_sem_slab, bg,
-                iteration, row0, zeros2d, sky_p)
+                iteration, row0, zeros2d, sky_p, bn)
             return loss, grads, aux
 
         if gt_sem_b is None:
             gt_sem_b = jnp.zeros(gt_b.shape[:3], jnp.int32)
-        loss, grads, (img, radii, stats) = jax.vmap(one_cam)(
-            w2c_b, k_b, gt_b, gt_sem_b)
+        if binning is None:
+            loss, grads, (img, radii, stats) = jax.vmap(one_cam)(
+                w2c_b, k_b, gt_b, gt_sem_b)
+        else:
+            bsq = jax.tree.map(lambda l: l[0], binning)  # drop tile axis
+            loss, grads, (img, radii, stats) = jax.vmap(one_cam)(
+                w2c_b, k_b, gt_b, gt_sem_b, bsq)
         nb = w2c_b.shape[0]
         loss = jax.lax.pmean(jnp.mean(loss), ("data", "tile"))
         sum_b = lambda g: jnp.sum(g, axis=0) / nb
@@ -211,23 +249,34 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
             1.0 / jnp.sqrt(jnp.maximum(stats.pop("mse"), 1e-12)))
         return loss, pg, sg, vis, skg, stats
 
+    @jax.jit
+    def bin_phase(state: SurfelState, w2c_b, k_b):
+        fn = shard_map(
+            bin_local, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=P("tile", "data"),
+            check_vma=False,
+        )
+        return fn(state.params, state, w2c_b, k_b)
+
     @functools.partial(jax.jit, static_argnames=())
     def step(state: SurfelState, opt_state: AdamState, w2c_b, k_b, gt_b,
              bg, iteration, gt_sem_b=None, sky_params=None,
-             sky_opt_state=None):
+             sky_opt_state=None, binning=None):
         fn = shard_map(
             sharded_grads,
             mesh=mesh,
             in_specs=(P(), P(), P("data"), P("data"),
                       P("data", "tile", None, None),
                       P() if gt_sem_b is None else P("data", "tile", None),
-                      P(), P(), P()),
+                      P(), P(), P(),
+                      P() if binning is None else P("tile", "data")),
             out_specs=(P(), P(), P(), P(), P(), P()),
             check_vma=False,
         )
         loss, pgrads, sgrads, radii, skg, stats = fn(
             state.params, state, w2c_b, k_b, gt_b, gt_sem_b, bg, iteration,
-            sky_params)
+            sky_params, binning)
 
         lrs = make_lrs(opt, iteration, state.spatial_scale)
         new_params, opt_state = adam_update(pgrads, opt_state, state.params,
@@ -245,16 +294,29 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
             return (state, opt_state, sky_params, sky_opt_state, metrics)
         return state, opt_state, metrics
 
+    def bin_local_zero(params_shard, aux_state, w2c_b, k_b):
+        """ZeRO phase-1: gather ONLY the geometry leaves binning reads
+        (xyz/scaling/rotation/opacity — not the dominant SH features),
+        then bin the slab."""
+        gather = lambda leaf: jax.lax.all_gather(leaf, "data", axis=0,
+                                                 tiled=True)
+        params = dataclasses.replace(
+            params_shard, xyz=gather(params_shard.xyz),
+            scaling=gather(params_shard.scaling),
+            rotation=gather(params_shard.rotation),
+            opacity=gather(params_shard.opacity))
+        return bin_local(params, aux_state, w2c_b, k_b)
+
     def zero_sharded(params_shard, mu_shard, nu_shard, aux_state,
                      w2c_b, k_b, gt_b, gt_sem_b, bg, iteration, step_count,
-                     sky_p):
+                     sky_p, binning=None):
         """Per-device body with surfel-sharded parameters/moments."""
         gather = lambda leaf: jax.lax.all_gather(leaf, "data", axis=0,
                                                  tiled=True)
         params = jax.tree.map(gather, params_shard)
         loss, pgrads, sgrads, radii, skg, stats = sharded_grads(
             params, aux_state, w2c_b, k_b, gt_b, gt_sem_b, bg, iteration,
-            sky_p)
+            sky_p, binning)
         # pgrads are identical on every device after the pmean; keep only
         # this device's shard of them (reduce-scatter equivalent)
         nd = jax.lax.axis_size("data")
@@ -270,10 +332,22 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
         return (loss, new_shard, new_opt.mu, new_opt.nu,
                 shard_of(sgrads), shard_of(radii), skg, stats)
 
+    @jax.jit
+    def bin_phase_zero(state: SurfelState, w2c_b, k_b):
+        fn = shard_map(
+            bin_local_zero, mesh=mesh,
+            in_specs=(P("data"), P(), P("data"), P("data")),
+            out_specs=P("tile", "data"),
+            check_vma=False,
+        )
+        aux = dataclasses.replace(
+            state, params=jax.tree.map(lambda l: l[:0], state.params))
+        return fn(state.params, aux, w2c_b, k_b)
+
     @functools.partial(jax.jit, static_argnames=())
     def step_zero(state: SurfelState, opt_state: AdamState, w2c_b, k_b,
                   gt_b, bg, iteration, gt_sem_b=None, sky_params=None,
-                  sky_opt_state=None):
+                  sky_opt_state=None, binning=None):
         """state.params / opt moments / densify stats enter SHARDED along
         the surfel axis (place them with surfel_sharding(mesh)).
 
@@ -287,7 +361,8 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
             in_specs=(P("data"), P("data"), P("data"), P(), P("data"),
                       P("data"), P("data", "tile", None, None),
                       P() if gt_sem_b is None else P("data", "tile", None),
-                      P(), P(), P(), P()),
+                      P(), P(), P(), P(),
+                      P() if binning is None else P("tile", "data")),
             out_specs=(P(), P("data"), P("data"), P("data"), P("data"),
                        P("data"), P(), P()),
             check_vma=False,
@@ -300,7 +375,8 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
             state, params=jax.tree.map(lambda l: l[:0], state.params))
         loss, new_params, mu, nu, sgrads, radii, skg, stats = fn(
             state.params, opt_state.mu, opt_state.nu, aux, w2c_b, k_b,
-            gt_b, gt_sem_b, bg, iteration, opt_state.step, sky_params)
+            gt_b, gt_sem_b, bg, iteration, opt_state.step, sky_params,
+            binning)
         opt_state = AdamState(step=opt_state.step + 1, mu=mu, nu=nu)
         state = dataclasses.replace(state, params=new_params)
         visible = (radii > 0) & (iteration < opt.densify_until_iter)
@@ -314,4 +390,17 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
             return (state, opt_state, sky_params, sky_opt_state, metrics)
         return state, opt_state, metrics
 
-    return step_zero if shard_surfels else step
+    inner = step_zero if shard_surfels else step
+    if not two_phase:
+        return inner
+    binner = bin_phase_zero if shard_surfels else bin_phase
+
+    def step_two_phase(state, opt_state, w2c_b, k_b, gt_b, bg, iteration,
+                       gt_sem_b=None, sky_params=None, sky_opt_state=None):
+        """Same one-call signature; chains the two executables host-side
+        (dispatch is async — the bin output never leaves the devices)."""
+        binning = binner(state, w2c_b, k_b)
+        return inner(state, opt_state, w2c_b, k_b, gt_b, bg, iteration,
+                     gt_sem_b, sky_params, sky_opt_state, binning)
+
+    return step_two_phase

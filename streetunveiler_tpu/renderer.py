@@ -52,10 +52,12 @@ class RenderResult:
         return self.radii > 0
 
     def rend_normal_world(self, camera: Camera):
-        return self.rend_normal @ camera.w2c[:3, :3]
+        return jnp.matmul(self.rend_normal, camera.w2c[:3, :3],
+                          precision=jax.lax.Precision.HIGHEST)
 
     def surf_normal_world(self, camera: Camera):
-        return self.surf_normal @ camera.w2c[:3, :3]
+        return jnp.matmul(self.surf_normal, camera.w2c[:3, :3],
+                          precision=jax.lax.Precision.HIGHEST)
 
 
 def _settings_for(camera: Camera, scale_modifier: float) -> RasterizeSettings:
@@ -81,13 +83,40 @@ def surfel_colors(state: SurfelState, camera: Camera, active_sh_degree):
     return jnp.maximum(rgb, 0.0)
 
 
+def bin_camera(camera: Camera, state: SurfelState,
+               scale_modifier: float = 1.0, opacity_mask=None,
+               center2d_offset=None, interpret: bool | None = None,
+               duplicate_capacity: int | None = None,
+               max_tiles_per_surfel: int = 64):
+    """Phase 1 of a two-phase render: tile binning alone → StreamBinning.
+
+    Jit this separately and pass the result to ``render(..., binning=...)``:
+    the visit schedule then enters the blend kernels as top-level
+    executable arguments, sidestepping the Mosaic dynamic scalar-prefetch
+    tax (~13 ms/direction at the bench shape — docs/profile.md). Must see
+    the same geometry/opacity inputs as the subsequent ``render`` call.
+    """
+    from .ops.rasterizer.api import bin_for_camera
+    opac = state.get_opacity()[:, 0]
+    if opacity_mask is not None:
+        opac = jnp.where(opacity_mask, opac, 0.0)
+    settings = _settings_for(camera, scale_modifier)
+    return bin_for_camera(state.params.xyz, state.get_scaling(),
+                          state.get_rotation(), opac, camera.w2c, camera.K,
+                          settings, max_tiles_per_surfel=max_tiles_per_surfel,
+                          duplicate_capacity=duplicate_capacity,
+                          center2d_offset=center2d_offset,
+                          interpret=interpret)
+
+
 def render(camera: Camera, state: SurfelState, bg,
            active_sh_degree=3, scale_modifier: float = 1.0,
            depth_ratio: float = 0.0, opacity_mask=None,
            colors_override=None, center2d_offset=None,
            interpret: bool | None = None, use_oracle: bool = False,
            duplicate_capacity: int | None = None,
-           extra_payload=None, class_gates=None) -> RenderResult:
+           extra_payload=None, class_gates=None,
+           binning=None) -> RenderResult:
     """Differentiable render of a SurfelState through the Pallas kernels.
 
     opacity_mask [C] bool: surfels where False render with opacity 0 —
@@ -97,6 +126,8 @@ def render(camera: Camera, state: SurfelState, bg,
     extra_payload [C,E]: extra channels blended in the same kernel pass
     (→ ``result.extra``) — the fused replacement for separate semantic
     rasterizations.
+    binning: a precomputed StreamBinning from ``bin_camera`` (two-phase
+    step; must come from the same state/camera/mask).
     """
     opac = state.get_opacity()[:, 0]
     if opacity_mask is not None:
@@ -108,7 +139,8 @@ def render(camera: Camera, state: SurfelState, bg,
     raster = rasterize_oracle if use_oracle else rasterize
     kwargs = {} if use_oracle else dict(
         interpret=interpret, duplicate_capacity=duplicate_capacity,
-        extra_payload=extra_payload, class_gates=class_gates)
+        extra_payload=extra_payload, class_gates=class_gates,
+        binning=binning)
     out = raster(state.params.xyz, state.get_scaling(), state.get_rotation(),
                  opac, colors, camera.w2c, camera.K, settings,
                  bg=jnp.asarray(bg), center2d_offset=center2d_offset,

@@ -24,7 +24,7 @@ from ..models.gaussians import (SurfelState, densify_and_prune, prune_mask,
                                 reset_opacity)
 from ..utils.semantics import SKY_BIT, VEGETATION_BIT
 from .optim import AdamState, adam_init
-from .step import init_optimizer, train_step
+from .step import bin_step, init_optimizer, train_step
 
 
 @dataclasses.dataclass
@@ -119,12 +119,18 @@ def train_scene(scene, state: SurfelState, opt: OptimizationParams,
         it = jnp.asarray(iteration)
 
         gt_sem = semantics[idx] if semantics is not None else None
+        # two-phase step: binning in its own executable, then the grad
+        # step with the visit schedule as top-level arguments (sidesteps
+        # the Mosaic scalar-prefetch tax, ~26 ms/step at 1920×1280 —
+        # docs/profile.md; dispatch is async so the host chain is free)
+        binning = bin_step(state, cams[idx],
+                           duplicate_capacity=duplicate_capacity)
         state, opt_state, sky_params, sky_opt_state, metrics = train_step(
             state, opt_state, cams[idx], images[idx], bg, it, opt,
             sky_params=sky_params, sky_opt_state=sky_opt_state,
             gt_semantic=gt_sem,
             class_dist=iteration > opt.semantic_dist_from_iter,
-            duplicate_capacity=duplicate_capacity)
+            duplicate_capacity=duplicate_capacity, binning=binning)
         window_iters += 1
 
         # densification (train.py:171-176)

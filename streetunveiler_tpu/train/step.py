@@ -63,7 +63,7 @@ def stage1_loss(state: SurfelState, camera: Camera, gt_image, bg,
                 iteration, opt: OptimizationParams, sky_params=None,
                 sky_image=None, gt_semantic=None, class_dist: bool = False,
                 center2d_offset=None, interpret=None,
-                duplicate_capacity=None):
+                duplicate_capacity=None, binning=None):
     """Full stage-1 loss (train.py:84-148). Returns (loss, aux).
 
     ``sky_params``: SkyParams trained jointly — the sky composites behind
@@ -96,7 +96,7 @@ def stage1_loss(state: SurfelState, camera: Camera, gt_image, bg,
     res = render(camera, state, bg, active_sh_degree=active_sh,
                  center2d_offset=center2d_offset, interpret=interpret,
                  duplicate_capacity=duplicate_capacity,
-                 extra_payload=extra, class_gates=gates)
+                 extra_payload=extra, class_gates=gates, binning=binning)
 
     image = res.render
     if sky_params is not None:
@@ -148,6 +148,22 @@ def stage1_loss(state: SurfelState, camera: Camera, gt_image, bg,
     return loss, aux
 
 
+@partial(jax.jit, static_argnames=("interpret", "duplicate_capacity"))
+def bin_step(state: SurfelState, camera: Camera,
+             interpret: bool | None = None,
+             duplicate_capacity: int | None = None):
+    """Phase 1 of the two-phase training step: tile binning alone.
+
+    Call before ``train_step(..., binning=...)``. A separate executable
+    so the blend kernels' scalar-prefetch visit arrays cross a jit
+    boundary as top-level arguments — the single-jit step pays a ~13
+    ms/direction Mosaic dynamic-scalar-prefetch tax at 1920×1280
+    (docs/profile.md, tools/probe_split.py)."""
+    from ..renderer import bin_camera
+    return bin_camera(camera, state, interpret=interpret,
+                      duplicate_capacity=duplicate_capacity)
+
+
 @partial(jax.jit, static_argnames=("opt", "class_dist", "interpret",
                                    "duplicate_capacity"))
 def train_step(state: SurfelState, opt_state: AdamState, camera: Camera,
@@ -156,11 +172,14 @@ def train_step(state: SurfelState, opt_state: AdamState, camera: Camera,
                gt_semantic=None, class_dist: bool = False,
                interpret: bool | None = None,
                duplicate_capacity: int | None = None,
-               sky_lr: float = 1e-4):
+               sky_lr: float = 1e-4, binning=None):
     """One optimization step (surfels + optional joint sky model).
 
     Returns (state, opt_state, sky_params, sky_opt_state, metrics); the sky
     pair passes through as None when no sky model is trained.
+
+    ``binning``: precomputed ``bin_step`` result for this (state, camera)
+    — the two-phase step (the training loop's default on TPU).
     """
     zeros2d = jnp.zeros((state.capacity, 2))
 
@@ -170,7 +189,8 @@ def train_step(state: SurfelState, opt_state: AdamState, camera: Camera,
                            sky_params=sky_p, sky_image=sky_image,
                            gt_semantic=gt_semantic, class_dist=class_dist,
                            center2d_offset=c2d_off, interpret=interpret,
-                           duplicate_capacity=duplicate_capacity)
+                           duplicate_capacity=duplicate_capacity,
+                           binning=binning)
 
     argnums = (0, 1, 2) if sky_params is not None else (0, 1)
     out = jax.value_and_grad(loss_fn, argnums=argnums, has_aux=True)(
