@@ -99,12 +99,12 @@ def main(argv=None):
         duplicate_capacity=args.duplicate_capacity), rest)
     if rest:
         print(f"WARNING: unrecognized arguments {rest}", file=sys.stderr)
-    save_config(args.model_path, model=model, pipeline=pipe,
-                optimization=opt)
-
     info = load_scene_info(model, seed=args.seed)
     scene = Scene(info, model_path=args.model_path,
                   resolution=args.resolution)
+    save_config(args.model_path, model=model, pipeline=pipe,
+                optimization=opt,
+                scene={"cameras_extent": float(scene.cameras_extent)})
     scene.save_cameras_json()   # reference scene/__init__.py:79-83
     state = scene.create_state(capacity=args.capacity)
     print(f"scene: {len(scene.train_cameras)} train / "

@@ -113,6 +113,17 @@ def main(argv=None):
     prev_ply = latest_unveiled_checkpoint(args.model_path)
     if prev_ply is not None:
         from ..utils.ply import state_from_ply
+        # the PLY carries no spatial scale; guard against a re-run with a
+        # different resolution/config silently changing it (the persisted
+        # cfg records the training-time cameras_extent)
+        saved_extent = cfg.get("scene", {}).get("cameras_extent")
+        if saved_extent is not None:
+            assert abs(scene.cameras_extent - saved_extent) <= (
+                1e-4 * abs(saved_extent)), (
+                f"scene cameras_extent {scene.cameras_extent} differs from "
+                f"the training-time value {saved_extent} persisted in "
+                f"cfg_args.json — rerun with the training resolution/config "
+                f"or retrain before chaining unveil rounds")
         state = state_from_ply(prev_ply, spatial_scale=scene.cameras_extent)
         print(f"chaining from unveiled checkpoint {prev_ply}")
     else:

@@ -114,9 +114,15 @@ CFG_NAME = "cfg_args.json"
 
 
 def save_config(model_path: str, **groups) -> None:
-    """Persist parameter groups into the model dir (reference cfg_args)."""
+    """Persist parameter groups into the model dir (reference cfg_args).
+
+    Groups are dataclasses; a plain dict passes through verbatim (used
+    for the ``scene`` group: derived quantities like ``cameras_extent``
+    that later stages assert against, cf. cli/unveil.py round chaining).
+    """
     os.makedirs(model_path, exist_ok=True)
-    payload = {name: dataclasses.asdict(g) for name, g in groups.items()}
+    payload = {name: (dataclasses.asdict(g) if dataclasses.is_dataclass(g)
+                      else dict(g)) for name, g in groups.items()}
     with open(os.path.join(model_path, CFG_NAME), "w") as f:
         json.dump(payload, f, indent=2)
 
@@ -133,6 +139,7 @@ def load_config(model_path: str):
     for name, values in payload.items():
         cls = kinds.get(name)
         if cls is None:
+            out[name] = values          # plain-dict group (e.g. "scene")
             continue
         fields = {f.name for f in dataclasses.fields(cls)}
         out[name] = cls(**{k: v for k, v in values.items() if k in fields})
