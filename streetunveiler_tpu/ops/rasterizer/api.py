@@ -27,14 +27,15 @@ from .types import RasterizeSettings, RenderOutput
 
 
 def default_duplicate_capacity(n_surfels: int, width: int, height: int,
-                               avg_tiles_per_surfel: float = 5.0) -> int:
+                               avg_tiles_per_surfel: float = 4.5) -> int:
     """A practical static capacity for the sorted duplicate stream.
 
-    5.0 tiles/surfel holds ~12% headroom over the bench street scene's
-    measured ~4.5 after pre-expansion conic culling (was 6.0 for the
-    plain AABB expansion); undersizing degrades gracefully — farthest
-    surfels drop and ``RenderOutput.overflow`` flags it (the train loop
-    surfaces an overflow fraction)."""
+    4.5 tiles/surfel holds ~16% headroom over the bench street scene's
+    measured 4.48 (1.16M culled duplicates / 259k valid surfels; round 3
+    shipped 5.0 = 23% slack, and every per-duplicate op — sort, gathers,
+    the backward grad scatter — pays for the slack). Undersizing degrades
+    gracefully — farthest surfels drop and ``RenderOutput.overflow``
+    flags it (the train loop surfaces an overflow fraction)."""
     cap = int(n_surfels * avg_tiles_per_surfel) + 16 * S_CHUNK
     return -(-cap // S_CHUNK) * S_CHUNK
 
@@ -76,6 +77,36 @@ def bin_for_camera(means3d, scales, quats, opacities, w2c, K,
                               TILE_W, TILE_H, duplicate_capacity,
                               max_tiles_per_surfel, cull=sg(sur.cull),
                               interpret=interpret)
+
+
+@jax.custom_vjp
+def _gather_records(packT, idx):
+    """``jnp.take(packT, idx, axis=1)`` with a row-padded backward.
+
+    The VJP of a lane-axis take is a column scatter-add, and XLA:TPU's
+    scatter lowering is wildly row-count dependent: ≤16 update rows hit
+    a slow path (measured 82 ms at the bench shape for 16 rows vs 23.5
+    ms for 17 — tools/probe_scatter3.py), so the backward zero-pads the
+    cotangent to 17 rows before scattering and slices the result back.
+    """
+    return jnp.take(packT, idx, axis=1)
+
+
+def _gather_records_fwd(packT, idx):
+    return jnp.take(packT, idx, axis=1), (idx, packT.shape)
+
+
+def _gather_records_bwd(res, g):
+    idx, (rows, ncols) = res
+    pad = max(0, 17 - rows)
+    if pad:
+        g = jnp.concatenate(
+            [g, jnp.zeros((pad, g.shape[1]), g.dtype)], axis=0)
+    out = jnp.zeros((rows + pad, ncols), g.dtype).at[:, idx].add(g)
+    return (out[:rows] if pad else out), None
+
+
+_gather_records.defvjp(_gather_records_fwd, _gather_records_bwd)
 
 
 def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
@@ -165,8 +196,8 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
 
     # lane-axis gather of the packed records — the step's one unavoidable
     # per-duplicate gather; builds the kernels' [rec, cap] layout directly
-    recT = jnp.take(pack_geometry_T(sur, n, pack_extra),
-                    binning.sorted_surfel, axis=1)
+    recT = _gather_records(pack_geometry_T(sur, n, pack_extra),
+                           binning.sorted_surfel)
 
     num_tiles = binning.tiles_x * binning.tiles_y
     gates_n = 0 if class_gates is None else n_gates

@@ -36,9 +36,15 @@ The TPU-native replacement for the reference's CUDA tile renderer
   forward and backward can never drift apart. Per-chunk gradient blocks
   accumulate across the chunk's (consecutive) visits.
 
-Packed per-duplicate record rows (REC=24; must match ``pack_geometry_T``):
-  0-8 rows of M, 9-10 projected center, 11 center depth, 12 opacity,
-  13 valid flag, 14-16 color, 17-19 view normal, 20-23 pad.
+Packed per-duplicate record rows (REC=16; must match ``pack_geometry_T``):
+  0-2 M's first column (K'a), 3-5 M's second column (K'b), 6-7 projected
+  center, 8 center depth, 9 opacity (0 ⇒ invalid — the valid flag is
+  folded in), 10-12 color, 13-15 view normal.
+  M's THIRD column is (c2d_x·z, c2d_y·z, z) by construction
+  (preprocess.py col_c), so the kernels rebuild it from rows 6-8 with
+  two multiplies instead of carrying 3 more rows — together with the
+  valid fold and the 8-row alignment this shrinks the record from 24 to
+  16 rows: −33% on the per-duplicate gather and the record DMA stream.
 
 Channel layout of the per-tile accumulator output [PIX, CH=12]:
   0-2 color, 3-5 view-space normal, 6 alpha, 7 expected-depth accum,
@@ -71,9 +77,9 @@ PIX = TILE_H * TILE_W          # 512 pixels (sublanes) per tile. Measured
 #                                but grow duplicates 49% (gather+sort);
 #                                32×16 is the total-work sweet spot.
 S_CHUNK = 128                  # surfels (lanes) per chunk
-Q_ROW0 = 14                    # first payload row (color) within the record
+Q_ROW0 = 10                    # first payload row (color) within the record
 NQ = 6                         # default payload channels (3 color + 3 normal)
-REC = 24                       # record rows at the default NQ
+REC = 16                       # record rows at the default NQ
 CH = 12                        # accumulator channels at the default NQ
 
 
@@ -139,6 +145,29 @@ def _mm_precise(a, b):
     return _mm(hi, b) + _mm(a - hi, b)
 
 
+def _hi8(a):
+    """Top-8-mantissa part of f32 (exactly bf16-representable)."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    return jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000),
+                                        jnp.float32)
+
+
+def _mmT3(a, b):
+    """[P,S] × [Q,S] → [P,Q] contracting the lane axis, f32-faithful from
+    3 DEFAULT passes on hi/lo splits of BOTH operands (arbitrary f32 data,
+    unlike ``_mm_precise``'s exact-bf16 ``b``). hi·hi, hi·lo, lo·hi are
+    each exact products (8-bit × 8-bit mantissas) accumulated in f32; the
+    dropped lo·lo term is ≤ 2⁻¹⁶ relative — the same accuracy class as
+    ``_mm_precise``. No transpose: dot_general contracts b's axis 1."""
+    dot = lambda x, y: jax.lax.dot_general(
+        x, y, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    ah = _hi8(a)
+    bh = _hi8(b)
+    return dot(ah, bh) + (dot(ah, b - bh) + dot(a - ah, bh))
+
+
 def _tile_pixel_coords(tile_idx, tiles_x):
     """Pixel-center coordinates [PIX, 1] of a tile's flattened pixels."""
     ty = tile_idx // tiles_x
@@ -152,11 +181,20 @@ def _tile_pixel_coords(tile_idx, tiles_x):
 def _pair_fn(chunk, px, py, znear):
     """Differentiable pair computation for one chunk: [REC,S] → α,t [P,S].
 
-    Reads the geometry rows (0-13) of the packed record."""
-    m_rows = tuple(chunk[i:i + 1, :] for i in range(9))
-    c2d = (chunk[9:10, :], chunk[10:11, :])
-    return pair_alpha_depth(m_rows, c2d, chunk[11:12, :], chunk[12:13, :],
-                            chunk[13:14, :] > 0.5, px, py, znear)
+    Reads the geometry rows (0-9) of the packed record, rebuilding M's
+    third column (c2d_x·z, c2d_y·z, z) from center2d and depth — exact:
+    these are the same f32 products the preprocess computed (col_c), and
+    the VJP through the reconstruction flows to the center2d/depth rows
+    automatically via the shared ``jax.vjp`` of this function."""
+    c2dx, c2dy = chunk[6:7, :], chunk[7:8, :]
+    z = chunk[8:9, :]
+    opac = chunk[9:10, :]
+    # m_rows are ROWS of M: r_i = (colA_i, colB_i, colC_i)
+    m_rows = (chunk[0:1, :], chunk[3:4, :], c2dx * z,
+              chunk[1:2, :], chunk[4:5, :], c2dy * z,
+              chunk[2:3, :], chunk[5:6, :], z)
+    return pair_alpha_depth(m_rows, (c2dx, c2dy), z, opac,
+                            opac > 0.0, px, py, znear)
 
 
 def _payload_sums(w, qc, nq):
@@ -515,9 +553,12 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
             gq, w, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT)         # [nq, S]
+        # tail slice only when pad rows exist — Mosaic rejects zero-size
+        # vector slices (rec == Q_ROW0 + nq at the default layout)
+        tail = ([drec[Q_ROW0 + nq:]] if drec.shape[0] > Q_ROW0 + nq
+                else [])
         contrib = jnp.concatenate(
-            [drec[:Q_ROW0], drec[Q_ROW0:Q_ROW0 + nq] + dq,
-             drec[Q_ROW0 + nq:]], axis=0)
+            [drec[:Q_ROW0], drec[Q_ROW0:Q_ROW0 + nq] + dq] + tail, axis=0)
 
         @pl.when(init_ref[v] > 0)
         def _():
@@ -534,17 +575,24 @@ def pack_geometry_T(sur, n_surfels: int, extra_payload=None):
     """SurfelScreen → packed per-surfel records, LANE-major [rec, N+1].
 
     Column N is the zero padding record referenced by stream-pad slots
-    (valid=0 → never contributes; its scatter-added gradients land in the
-    dropped row). Built transposed so the per-duplicate gather runs along
-    the lane axis and the kernels stream the result without any relayout.
+    (opacity=0 → never contributes; its scatter-added gradients land in
+    the dropped row). Built transposed so the per-duplicate gather runs
+    along the lane axis and the kernels stream the result without any
+    relayout.
+
+    Only M's first two columns are stored — the third is
+    (c2d_x·z, c2d_y·z, z) and the kernels rebuild it from the
+    center2d/depth rows (see the module docstring's record layout). The
+    valid flag folds into the opacity row (0 ⇒ invalid: the α ≥ 1/255
+    gate can never pass, matching the old explicit mask).
 
     ``extra_payload`` [N, E] appends E payload rows after color+normal
     (nq = 6 + E) — fused multi-pass rendering shares this one gather.
     """
-    m_flat = sur.M.reshape(n_surfels, 9)
     validf = sur.valid.astype(jnp.float32)
-    cols = [m_flat, sur.center2d, sur.depth[:, None], sur.opacity[:, None],
-            validf[:, None], sur.color, sur.normal]
+    cols = [sur.M[:, :, 0], sur.M[:, :, 1], sur.center2d,
+            sur.depth[:, None], (sur.opacity * validf)[:, None],
+            sur.color, sur.normal]
     nq = NQ
     if extra_payload is not None:
         cols.append(extra_payload)

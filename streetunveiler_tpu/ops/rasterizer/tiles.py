@@ -159,10 +159,15 @@ def _expand_kernel(total_ref, g_ref, tid_ref, sid_ref, *, tiles_x,
     One Pallas pass over the row-major gathered table: XLA materializes
     every row read of a [cap, R] gather result as its own strided
     full-array pass (~2 ms each, ~20 of them); here the block transposes
-    once in VMEM and all the expansion arithmetic (nibble pick, divmod,
-    conic wide-surfel cull) runs lane-wise in registers."""
+    once in VMEM and all the expansion arithmetic (nibble pick, divmod)
+    runs lane-wise in registers. The table arrives int32 (see
+    bin_surfels_stream — f32-bitcast ints are denormals XLA flushes);
+    the in-kernel f32 bitcast exists only because Mosaic transposes f32
+    blocks, and is lane-exact both ways."""
     c = pl.program_id(0)
-    gf = jnp.transpose(g_ref[:, :], (1, 0))          # [R, BLK] f32
+    gf = jnp.transpose(
+        jax.lax.bitcast_convert_type(g_ref[:, :], jnp.float32),
+        (1, 0))                                      # [R, BLK]
     row_i = lambda i: jax.lax.bitcast_convert_type(gf[i:i + 1, :],
                                                    jnp.int32)
     slot = c * EXP_BLK + jax.lax.broadcasted_iota(jnp.int32, (1, EXP_BLK),
@@ -188,12 +193,6 @@ def _expand_kernel(total_ref, g_ref, tid_ref, sid_ref, *, tiles_x,
     tx = x0 + r
     ty = y0 + q
     tid = ty * tiles_x + tx
-    if has_cull:
-        # wide surfels: post-expansion conic cull (their rect enumeration
-        # stands); tx/ty ARE tid's coordinates by construction
-        coefs = tuple(gf[8 + i:9 + i, :] for i in range(13))
-        wide_ok = _tile_can_contribute(coefs, tx, ty, tile_w, tile_h)
-        in_stream = in_stream & (is_small | wide_ok)
     tid_ref[0] = jnp.where(in_stream, tid, sentinel).reshape(8, 128)
     sid_ref[0] = jnp.where(in_stream, row_i(4), n).reshape(8, 128)
 
@@ -242,12 +241,17 @@ def bin_surfels_stream(center2d, ext, depth, valid, width: int, height: int,
     ``cull`` [N, 11] (preprocess ``SurfelScreen.cull``) enables the exact
     conic tile test: AABB tiles where neither the ρ3d conic nor the
     low-pass disc can reach α ≥ 1/255 are dropped from the stream
-    (~17% of duplicates on street scenes — the AABB's corner tiles).
+    (~18% of duplicates on street scenes — the AABB's corner tiles).
     Exact: the pair condition ρ3d ≤ ρ_max ⟺ Q(p) ≤ 0 for the quadratic
     Q = kx²+ky²−ρ_max·kz², and min of a quadratic over a rect is attained
     at a corner, an edge-critical or the interior stationary point — all
     candidates are evaluated (via the well-conditioned ratio ρ3d, which
     is second-order insensitive to f32 error in candidate locations).
+    The test runs PRE-expansion for surfels spanning ≤ CULL_KMAX AABB
+    tiles (all of them on street scenes); wider surfels keep their
+    (capped) rectangle tiles unculled — correct, marginally more
+    duplicates — so the conic coefficients stay out of the [cap]-row
+    expansion gather (round 3 carried 13 extra columns through it).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -259,32 +263,34 @@ def bin_surfels_stream(center2d, ext, depth, valid, width: int, height: int,
     cap = dup_capacity
     assert cap % S_CHUNK == 0
 
-    # -- per-surfel tile ranges in depth-rank order (one fused gather)
-    order = jnp.argsort(jnp.where(valid, depth, jnp.inf)).astype(jnp.int32)
-    per_surfel = jnp.concatenate(
-        [center2d, ext, valid[:, None].astype(jnp.float32)], axis=1)
-    ps = jnp.take(per_surfel, order, axis=0)          # [N, 5]
-    cx, cy, ex, ey, vf = (ps[:, i] for i in range(5))
+    # -- per-surfel tile ranges, computed in ORIGINAL surfel order (all
+    # elementwise); only the final compact table is gathered into
+    # depth-rank order — ONE [N]-row take instead of round 3's two
+    cx, cy = center2d[:, 0], center2d[:, 1]
+    ex, ey = ext[:, 0], ext[:, 1]
+    vf = valid
     x0 = jnp.clip(jnp.floor((cx - ex) / tile_w), 0, tiles_x - 1).astype(jnp.int32)
     x1 = jnp.clip(jnp.floor((cx + ex) / tile_w), 0, tiles_x - 1).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((cy - ey) / tile_h), 0, tiles_y - 1).astype(jnp.int32)
     y1 = jnp.clip(jnp.floor((cy + ey) / tile_h), 0, tiles_y - 1).astype(jnp.int32)
     nx = x1 - x0 + 1
     rect_nt = nx * (y1 - y0 + 1)
-    nt = jnp.where(vf > 0.5, jnp.minimum(rect_nt, max_tiles_per_surfel), 0)
+    nt = jnp.where(vf, jnp.minimum(rect_nt, max_tiles_per_surfel), 0)
 
-    small = None
+    cull_cols = []
     if cull is not None:
         # -- pre-expansion exact counts: for surfels whose AABB spans at
-        # most CULL_KMAX tiles (the vast majority), test every candidate
-        # tile NOW so culled tiles never enter the duplicate stream at
-        # all — the stream, sort, gather and scatter all shrink ~17%.
-        # The compact passing-tile list (rect order) is built with one
-        # tiny [N, K] lane sort. Wider surfels keep rectangle counts and
-        # are culled post-expansion below.
-        fco = jnp.concatenate([jnp.take(cull, order, axis=0),
-                               jnp.take(center2d, order, axis=0)], axis=1)
-        coefs_k = tuple(fco[:, i:i + 1] for i in range(13))
+        # most CULL_KMAX tiles (the vast majority; EVERY surfel in the
+        # bench street scene), test every candidate tile NOW so culled
+        # tiles never enter the duplicate stream at all — the stream,
+        # sort, gather and scatter all shrink ~18% (1.42M → 1.16M dups at
+        # the bench shape). The compact passing-tile list (rect order) is
+        # built with one tiny [N, K] lane sort. Wider surfels keep their
+        # (max_tiles_per_surfel-capped) rectangle counts uncul led — the
+        # conic coefficients no longer ride the [cap]-row expansion
+        # gather (13 of its 21 columns in round 3, ~4 ms of gather).
+        coefs_k = tuple(jnp.concatenate([cull, center2d], axis=1)[:, i:i + 1]
+                        for i in range(13))
         ks = jnp.arange(CULL_KMAX, dtype=jnp.int32)[None, :]
         nx_safe = jnp.maximum(nx, 1)[:, None]
         kyk, kxk = _divmod_small(jnp.broadcast_to(ks, (n, CULL_KMAX)),
@@ -293,7 +299,7 @@ def bin_surfels_stream(center2d, ext, depth, valid, width: int, height: int,
         tyk = y0[:, None] + kyk
         passk = ((ks < rect_nt[:, None])
                  & _tile_can_contribute(coefs_k, txk, tyk, tile_w, tile_h))
-        small = (rect_nt <= CULL_KMAX) & (vf > 0.5)
+        small = (rect_nt <= CULL_KMAX) & vf
         exact_nt = jnp.sum(passk, axis=1).astype(jnp.int32)
         nt = jnp.where(small,
                        jnp.minimum(exact_nt, max_tiles_per_surfel), nt)
@@ -307,35 +313,41 @@ def bin_surfels_stream(center2d, ext, depth, valid, width: int, height: int,
                                       is_stable=True)     # [N, K]
         pos = keys_sorted % CULL_KMAX
         nib = (jnp.arange(CULL_KMAX, dtype=jnp.int32) % 8) * 4
-        pos_pack = [jnp.sum(pos[:, j:j + 8] << nib[None, :8], axis=1,
-                            dtype=jnp.int32) for j in (0, 8)]
+        cull_cols = [small[:, None].astype(jnp.int32)] + [
+            jnp.sum(pos[:, j:j + 8] << nib[None, :8], axis=1,
+                    dtype=jnp.int32)[:, None] for j in (0, 8)]
 
+    # -- depth-rank order: ONE fused take of the per-surfel table; only
+    # nt needs reordering before the dup_start cumsum
+    order = jnp.argsort(jnp.where(vf, depth, jnp.inf)).astype(jnp.int32)
+    tbl_orig = jnp.concatenate(
+        [x0[:, None], y0[:, None], jnp.maximum(nx, 1)[:, None],
+         nt[:, None]] + cull_cols, axis=1)           # [N, 4(+3)] i32
+    tbl_s = jnp.take(tbl_orig, order, axis=0)
+    nt_s = tbl_s[:, 3]
     dup_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                 jnp.cumsum(nt).astype(jnp.int32)])
+                                 jnp.cumsum(nt_s).astype(jnp.int32)])
     total = dup_start[-1]
 
     # -- duplicate expansion: rank via marks+cumsum, ONE row-major gather
     # (XLA's fast gather form), then the Pallas _expand_kernel consumes
     # the gathered rows in a single pass (transposing each block once in
-    # VMEM). Float columns (conic cull) ride along bitcast to i32.
+    # VMEM). The table is int32 END-TO-END: round 3 carried float conic
+    # columns and rode the ints through f32 bitcasts to share one gather
+    # — with the conic cull fully pre-expansion the floats are gone, and
+    # the bitcast trick is actively DANGEROUS on TPU: small ints bitcast
+    # to f32 are denormals, preserved by pure data movement but flushed
+    # to zero when XLA:TPU fuses them through any arithmetic op (the
+    # round-4 all-black renders: standalone binning was byte-exact while
+    # the fused-in-rasterize program zeroed the gathered tile table).
     capp = -(-cap // EXP_BLK) * EXP_BLK
     marks = jnp.zeros((capp,), jnp.int32).at[dup_start[1:-1]].add(
         1, mode="drop")
     rank = jnp.minimum(jnp.cumsum(marks), n - 1)
-    # int columns enter bitcast to f32 ([N]-sized bitcasts are free) so
-    # the gathered table is f32 directly — the Pallas expansion kernel
-    # transposes f32 blocks and bitcasts int rows back lane-locally
-    as_f = lambda a: jax.lax.bitcast_convert_type(a.astype(jnp.int32),
-                                                  jnp.float32)
-    cols = [as_f(x0[:, None]), as_f(y0[:, None]),
-            as_f(jnp.maximum(nx, 1)[:, None]),
-            as_f(dup_start[:-1][:, None]), as_f(order[:, None])]
-    if cull is not None:
-        cols.append(as_f(small[:, None]))
-        cols.append(as_f(pos_pack[0][:, None]))
-        cols.append(as_f(pos_pack[1][:, None]))
-        cols.append(fco)
-    tbl = jnp.concatenate(cols, axis=1)         # [N, 5(+3+13)] f32
+    tbl = jnp.concatenate(
+        [tbl_s[:, 0:3], dup_start[:-1][:, None], order[:, None]]
+        + ([tbl_s[:, 4:7]] if cull is not None else []),
+        axis=1)                                     # [N, 5(+3)] i32
     g = jnp.take(tbl, rank, axis=0, mode="clip")    # [capp, rows]
     tile_id, surf_id = _expand_stream(
         g, jnp.minimum(total, cap), tiles_x, tile_w, tile_h, n, sentinel,
