@@ -272,8 +272,17 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
         trigger_any = jnp.sum(trigf, axis=1, keepdims=True) > 0.5
         w = jnp.where(keep, a * t_excl, 0.0)
 
-        cn = acc[:, 0:nq] + _payload_sums(w, qc, nq)    # [P, nq]
-        alpha = acc[:, nq:nq + 1] + jnp.sum(w, axis=1, keepdims=True)
+        # Payload channels + alpha as ONE MXU contraction over the lane
+        # axis (w × [qc; 1]): the per-surfel-constant channels don't need
+        # nq separate [P,S] multiply+lane-reduce passes on the VPU (which
+        # is this kernel's bottleneck — it measures at ~100% utilization).
+        # _mmT3's 3-pass hi/lo split keeps f32-faithful accuracy; the
+        # per-PAIR channels (deptha, m1, m2 — depth varies per pair) stay
+        # as exact VPU lane reductions.
+        qc1 = jnp.concatenate([qc, jnp.ones((1, s), jnp.float32)], axis=0)
+        pay = _mmT3(w, qc1)                             # [P, nq+1]
+        cn = acc[:, 0:nq] + pay[:, 0:nq]
+        alpha = acc[:, nq:nq + 1] + pay[:, nq:nq + 1]
         deptha = acc[:, nq + 1:nq + 2] + jnp.sum(w * tdep, axis=1,
                                                  keepdims=True)
         m = map_depth(tdep, znear, zfar)
