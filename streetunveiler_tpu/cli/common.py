@@ -22,7 +22,18 @@ def load_scene_info(model: ModelParams, seed: int = 0):
                   end_frame=model.end_frame)
     if kind == "synthetic":
         from ..scene.readers import make_synthetic_street
-        return make_synthetic_street(seed=seed, eval_split=model.eval)
+        kw = dict(seed=seed, eval_split=model.eval)
+        if model.synthetic_points:
+            kw["n_points"] = model.synthetic_points
+        if model.synthetic_cameras:
+            kw["n_cameras"] = model.synthetic_cameras
+        if model.synthetic_width:
+            kw["width"] = model.synthetic_width
+        if model.synthetic_height:
+            kw["height"] = model.synthetic_height
+        if model.synthetic_focal:
+            kw["focal"] = model.synthetic_focal
+        return make_synthetic_street(**kw)
     if kind == "colmap":
         from ..scene.readers import read_colmap_scene
         return read_colmap_scene(model.source_path, model.colmap_path,

@@ -94,6 +94,9 @@ def main(argv=None):
                         sequence=args.sequence, scene_name=args.scene_name,
                         version=args.version, start_frame=args.start_frame,
                         end_frame=args.end_frame, eval=args.eval)
+    # ModelParams fields without dedicated flags (e.g. --synthetic_points)
+    # are overridable like the reference's reflected argparse groups
+    model, rest = apply_overrides(model, rest)
     pipe, rest = apply_overrides(PipelineParams(
         tile_devices=args.tile_devices,
         duplicate_capacity=args.duplicate_capacity), rest)

@@ -40,6 +40,14 @@ class ModelParams:
     sequence: str = ""         # pandaset: sequence id
     scene_name: str = ""       # nuscenes: scene name
     version: str = "v1.0-mini"  # nuscenes: table version
+    # synthetic scene scale (persisted so every stage reloads the SAME
+    # procedural scene; 0 → the reader's defaults). The config-2 e2e gate
+    # drives these at 100k pts / 800x600 (tools/e2e_config2.py).
+    synthetic_points: int = 0
+    synthetic_cameras: int = 0
+    synthetic_width: int = 0
+    synthetic_height: int = 0
+    synthetic_focal: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

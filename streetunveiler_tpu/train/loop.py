@@ -40,32 +40,69 @@ class TrainReport:
     test_l1: float = float("nan")
 
 
-@partial(jax.jit, static_argnames=("duplicate_capacity",))
-def _eval_view(state, cam, gt, bg, sky_params=None, duplicate_capacity=None):
+@partial(jax.jit, static_argnames=("duplicate_capacity", "n_slabs"))
+def _eval_view(state, cam, gt, bg, sky_params=None, duplicate_capacity=None,
+               n_slabs: int = 1):
+    """Render + PSNR/L1 for one held-out view.
+
+    ``n_slabs > 1`` renders the view in that many sequential row-slabs
+    (each an exact crop via a principal-point shift, the same trick the
+    tile-sharded step uses) — the memory-bounded eval path for BASELINE
+    config-5 scale: a 5M-surfel full-res render's duplicate stream +
+    record gather is ~2 GB of f32 at once, while each slab costs ~1/n of
+    that. Slab PSNR composes exactly (mse is a mean over equal rows);
+    results are identical to the single-pass render up to fp association.
+    """
     from ..renderer import render
+    from ..scene.cameras import Camera
     from .losses import psnr as psnr_fn
-    res = render(cam, state, bg, duplicate_capacity=duplicate_capacity)
-    img = res.render
-    if sky_params is not None:
-        from ..models.sky import render_sky
-        sky = render_sky(sky_params, cam.height, cam.width, cam.K,
-                         jnp.linalg.inv(cam.w2c))
-        img = img + sky * (1.0 - res.rend_alpha)[..., None]
+
+    def render_rows(camera):
+        res = render(camera, state, bg,
+                     duplicate_capacity=duplicate_capacity)
+        img = res.render
+        if sky_params is not None:
+            from ..models.sky import render_sky
+            sky = render_sky(sky_params, camera.height, camera.width,
+                             camera.K, jnp.linalg.inv(camera.w2c))
+            img = img + sky * (1.0 - res.rend_alpha)[..., None]
+        return img
+
+    if n_slabs <= 1:
+        img = render_rows(cam)
+    else:
+        slab = -(-cam.height // n_slabs)
+        parts = []
+        for s in range(n_slabs):
+            row0 = s * slab
+            h = min(slab, cam.height - row0)
+            if h <= 0:
+                break
+            Kslab = cam.K.at[1, 2].add(-float(row0))
+            parts.append(render_rows(Camera(w2c=cam.w2c, K=Kslab,
+                                            width=cam.width, height=h)))
+        img = jnp.concatenate(parts, axis=0)
     img = jnp.clip(img, 0.0, 1.0)
     return psnr_fn(img, gt), jnp.mean(jnp.abs(img - gt))
 
 
 def evaluate_views(state, cameras, images, bg, sky_params=None,
-                   max_views: int = 8, duplicate_capacity=None):
+                   max_views: int = 8, duplicate_capacity=None,
+                   n_slabs: int = 1):
     """Held-out PSNR/L1 over up to ``max_views`` cameras (the reference's
-    ``training_report`` eval pass, train.py:244-301)."""
+    ``training_report`` eval pass, train.py:244-301).
+
+    ``n_slabs``: render each view in sequential row-slabs to bound peak
+    memory (see ``_eval_view``); the sharded loop passes its tile count
+    so eval never needs more HBM than a training slab."""
     psnrs, l1s = [], []
     for cam, img in list(zip(cameras, images))[:max_views]:
         if img is None:
             continue
         p, l = _eval_view(state, cam, jnp.asarray(img), bg,
                           sky_params=sky_params,
-                          duplicate_capacity=duplicate_capacity)
+                          duplicate_capacity=duplicate_capacity,
+                          n_slabs=n_slabs)
         psnrs.append(float(p))
         l1s.append(float(l))
     if not psnrs:
@@ -386,11 +423,17 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
             if (eval_every and scene.test_cameras
                     and (iteration % eval_every == 0
                          or iteration == iterations)):
+                # held-out eval runs replicated on one device's view of
+                # the state; rendering in n_tile row-slabs bounds its
+                # peak memory to ~a training slab's (a 5M-surfel
+                # config-5 full-res duplicate stream + record gather is
+                # ~2 GB of f32 at once — VERDICT r3 #8)
                 test_psnr, test_l1 = evaluate_views(
                     state, scene.test_cameras,
                     getattr(scene, "test_images", []), bg,
                     sky_params=sky_params, max_views=eval_max_views,
-                    duplicate_capacity=duplicate_capacity)
+                    duplicate_capacity=duplicate_capacity,
+                    n_slabs=n_tile)
             rep = TrainReport(iteration=iteration,
                               loss=float(metrics["loss"]),
                               psnr=float(metrics["psnr"]),

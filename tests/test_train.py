@@ -108,3 +108,21 @@ def test_reset_opacity_and_prune_mask():
     state3 = prune_mask(state, state.semantics == 3)
     assert int(state3.num_alive) < int(state.num_alive) or not np.any(
         np.array(state.semantics[state.alive]) == 3)
+
+
+def test_slab_eval_matches_single_pass():
+    """VERDICT r3 #8: the memory-bounded slab-eval path (render a held-out
+    view in sequential row-slabs via principal-point shifts) reproduces
+    the single-pass eval — the config-5-scale fallback where a full-res
+    5M-surfel render's duplicate stream would not fit at once."""
+    from streetunveiler_tpu.train.loop import evaluate_views
+
+    state, cams = make_scene(n=80, seed=7)
+    rng = np.random.default_rng(8)
+    imgs = [np.asarray(rng.uniform(0, 1, (c.height, c.width, 3)),
+                       np.float32) for c in cams]
+    bg = jnp.zeros(3)
+    p1, l1 = evaluate_views(state, cams, imgs, bg)
+    p4, l4 = evaluate_views(state, cams, imgs, bg, n_slabs=4)
+    np.testing.assert_allclose(p1, p4, rtol=1e-5)
+    np.testing.assert_allclose(l1, l4, rtol=1e-5)

@@ -1,0 +1,222 @@
+"""BASELINE config-2 end-to-end gate on the real TPU (VERDICT r3 #4).
+
+Drives the PRODUCT CLIs in one process — the reference pipeline shape
+(`train.py` → `render.py` → `unveil.sh` → `eval_lpips_fid.sh`) at
+config-2 scale: ~100k init surfels, 800x600, full train loop WITH
+densification, single chip. Asserts the held-out PSNR gate and writes
+``docs/e2e_config2.json`` with every number + the reproducing command.
+
+    python tools/e2e_config2.py [--model_path DIR] [--iterations N]
+
+Stages:
+  1. train   — cli.train, synthetic street scene (the hermetic stand-in
+               for a small COLMAP scene; same reader contract), eval
+               holdout ``i % 8 == 0``, densify/prune/reset schedule on.
+  2. render  — cli.render: train/test splits + TSDF mesh extraction.
+  3. unveil  — cli.unveil: remove all vehicle instances, hermetic
+               DiffuseFill inpainter, delta re-optimization.
+  4. evaluate— LPIPS + FID over final_renders vs gt through the full
+               protocol machinery (evaluation/lpips.py + inception.py).
+
+Eval-weight provenance: the genuine ``pt_inception-2015-12-05`` and
+LPIPS-VGG checkpoints are NOT obtainable in this environment (zero
+egress, no torchvision/lpips caches). The protocol therefore runs with
+DETERMINISTIC random-init weights of the exact architecture shapes,
+built as torch state_dicts and exported through the SAME converter the
+real checkpoints use (tools/export_eval_weights.py) — the committed
+lpips/fid values exercise the full pipeline end-to-end but are NOT
+comparable to published numbers. Swap in the real artifacts with the
+commands in export_eval_weights.py's docstring to get protocol values.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+PSNR_GATE = 24.0   # held-out PSNR the trained scene must clear
+
+
+def make_eval_weights(model_path: str):
+    """Deterministic random-init LPIPS-VGG + InceptionV3 artifacts via the
+    real converter path (torch state_dict → export_eval_weights)."""
+    import torch
+    from export_eval_weights import export_inception, export_lpips_from_pth
+    from streetunveiler_tpu.evaluation.inception import conv_shapes
+
+    rng = np.random.default_rng(0)
+    g = lambda *s: torch.from_numpy(
+        rng.normal(0, 0.05, s).astype(np.float32))
+
+    # vgg16 features state_dict (13 convs, torchvision names)
+    cfg = [(64, 3), (64, 64), (128, 64), (128, 128), (256, 128), (256, 256),
+           (256, 256), (512, 256), (512, 512), (512, 512), (512, 512),
+           (512, 512), (512, 512)]
+    conv_ids = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    vgg = {}
+    for c, (o, i) in zip(conv_ids, cfg):
+        vgg[f"features.{c}.weight"] = g(o, i, 3, 3)
+        vgg[f"features.{c}.bias"] = g(o)
+    lins = {f"lin{i}.model.1.weight": torch.abs(g(1, c, 1, 1))
+            for i, c in enumerate([64, 128, 256, 512, 512])}
+    vgg_pth = os.path.join(model_path, "vgg16_synth.pth")
+    lins_pth = os.path.join(model_path, "lpips_lins_synth.pth")
+    torch.save(vgg, vgg_pth)
+    torch.save(lins, lins_pth)
+    lpips_npz = os.path.join(model_path, "lpips_vgg.npz")
+    export_lpips_from_pth(vgg_pth, lins_pth, lpips_npz)
+
+    sd = {}
+    for name, (o, i, kh, kw) in conv_shapes().items():
+        sd[f"{name}.conv.weight"] = g(o, i, kh, kw)
+        sd[f"{name}.bn.weight"] = torch.from_numpy(
+            rng.uniform(0.5, 1.5, o).astype(np.float32))
+        sd[f"{name}.bn.bias"] = g(o)
+        sd[f"{name}.bn.running_mean"] = g(o)
+        sd[f"{name}.bn.running_var"] = torch.from_numpy(
+            rng.uniform(0.5, 1.5, o).astype(np.float32))
+    inc_pth = os.path.join(model_path, "pt_inception_synth.pth")
+    torch.save(sd, inc_pth)
+    inc_npz = os.path.join(model_path, "inception_fid.npz")
+    export_inception(inc_pth, inc_npz)
+    return lpips_npz, inc_npz
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", default="/tmp/e2e_config2")
+    ap.add_argument("--iterations", type=int, default=2000)
+    ap.add_argument("--points", type=int, default=100_000)
+    ap.add_argument("--cameras", type=int, default=16)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--reopt_iterations", type=int, default=300)
+    ap.add_argument("--out", default="docs/e2e_config2.json")
+    args = ap.parse_args(argv)
+    mp = args.model_path
+    os.makedirs(mp, exist_ok=True)
+
+    import jax
+    from streetunveiler_tpu.cli.render import main as render_main
+    from streetunveiler_tpu.cli.train import main as train_main
+    from streetunveiler_tpu.cli.unveil import main as unveil_main
+
+    record = {
+        "config": "BASELINE config 2",
+        "scene": f"synthetic street, {args.points} init pts, "
+                 f"{args.cameras} cams @ {args.width}x{args.height}, "
+                 f"holdout i%8==0",
+        "device": str(jax.devices()[0]),
+        "iterations": args.iterations,
+        "psnr_gate": PSNR_GATE,
+        "command": "python tools/e2e_config2.py",
+    }
+
+    synth = ["--synthetic_points", str(args.points),
+             "--synthetic_cameras", str(args.cameras),
+             "--synthetic_width", str(args.width),
+             "--synthetic_height", str(args.height),
+             "--synthetic_focal", "700"]
+
+    # ---- stage 1: train (densification schedule on by default)
+    t0 = time.perf_counter()
+    train_main(["--model_path", mp, "--scene", "synthetic", "--eval",
+                "--iterations", str(args.iterations),
+                "--capacity", str(int(args.points * 1.6)),
+                "--eval_every", "500", "--log_every", "100",
+                "--save_every", str(args.iterations)] + synth)
+    record["train_s"] = round(time.perf_counter() - t0, 1)
+
+    # held-out PSNR of the trained checkpoint (the gate) vs the init state
+    from streetunveiler_tpu.cli.common import load_scene_info
+    from streetunveiler_tpu.config import load_config
+    from streetunveiler_tpu.scene.scene import Scene
+    from streetunveiler_tpu.train.loop import evaluate_views
+
+    cfg = load_config(mp)
+    info = load_scene_info(cfg["model"])
+    scene = Scene(info, model_path=mp)
+    bg = np.zeros(3)
+    init_psnr, _ = evaluate_views(scene.create_state(
+        capacity=int(args.points * 1.6)), scene.test_cameras,
+        scene.test_images, bg)
+    state = scene.load(args.iterations)
+    test_psnr, test_l1 = evaluate_views(state, scene.test_cameras,
+                                        scene.test_images, bg)
+    record.update(init_test_psnr=round(float(init_psnr), 2),
+                  test_psnr=round(float(test_psnr), 2),
+                  test_l1=round(float(test_l1), 4),
+                  n_surfels_trained=int(state.num_alive))
+    print(f"[e2e] held-out PSNR {test_psnr:.2f} (init {init_psnr:.2f}, "
+          f"gate {PSNR_GATE})", flush=True)
+    assert test_psnr > PSNR_GATE, (test_psnr, PSNR_GATE)
+    assert test_psnr > init_psnr + 1.0, "training must beat the init render"
+
+    # ---- stage 2: render + TSDF mesh
+    t0 = time.perf_counter()
+    render_main(["--model_path", mp, "--skip_train"])
+    record["render_mesh_s"] = round(time.perf_counter() - t0, 1)
+    mesh_path = os.path.join(mp, "train", f"ours_{args.iterations}",
+                             "fuse.ply")
+    assert os.path.exists(mesh_path), "TSDF mesh extraction must produce fuse.ply"
+    record["mesh_bytes"] = os.path.getsize(mesh_path)
+
+    # ---- stage 3: unveil (remove vehicles; hermetic inpainter)
+    t0 = time.perf_counter()
+    unveil_main(["--model_path", mp, "--semantic_class", "vehicle",
+                 "--all", "--key_stride", "4",
+                 "--reopt_iterations", str(args.reopt_iterations)])
+    record["unveil_s"] = round(time.perf_counter() - t0, 1)
+    ws = os.path.join(mp, "instance_workspace_1")
+    from streetunveiler_tpu.utils.ply import state_from_ply
+    from streetunveiler_tpu.utils.semantics import CONCERNED_IND
+    st1 = state_from_ply(os.path.join(ws, "checkpoint", "point_cloud.ply"),
+                         spatial_scale=scene.cameras_extent)
+    veh_bit = 1 << CONCERNED_IND["vehicle"]
+    n_veh_before = int(np.sum(np.array(
+        state.semantic_mask(veh_bit) & state.alive)))
+    n_veh_after = int(np.sum(np.array(
+        st1.semantic_mask(veh_bit) & st1.alive)))
+    record.update(vehicles_before=n_veh_before, vehicles_after=n_veh_after)
+    assert n_veh_after < n_veh_before, "unveil must remove vehicle surfels"
+
+    # ---- stage 4: LPIPS + FID protocol over final_renders vs gt
+    t0 = time.perf_counter()
+    lpips_npz, inc_npz = make_eval_weights(mp)
+    from streetunveiler_tpu.evaluation.inception import (
+        inception_feature_fn)
+    from streetunveiler_tpu.evaluation.metrics import (evaluate_dirs,
+                                                       fid_from_dirs)
+    ev = evaluate_dirs(os.path.join(ws, "final_renders"),
+                       os.path.join(ws, "gt"), lpips_weights=lpips_npz)
+    fid = fid_from_dirs(os.path.join(ws, "final_renders"),
+                        os.path.join(ws, "gt"),
+                        inception_feature_fn(inc_npz))
+    record["evaluate_s"] = round(time.perf_counter() - t0, 1)
+    record["unveil_eval"] = {
+        **{k: (round(v, 4) if isinstance(v, float) else v)
+           for k, v in ev.items()},
+        "fid": round(float(fid), 4),
+        "weight_provenance": "deterministic random-init (zero-egress env; "
+                             "NOT comparable to published values — see "
+                             "module docstring)",
+    }
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record, indent=1), flush=True)
+    print(f"[e2e] PASS — wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
