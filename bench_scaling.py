@@ -94,10 +94,14 @@ def decompose():
             "sort_rows_per_device": cap,
             "visits_per_device": visits,
             "overflowed_slabs": ovf,
-            # work that does NOT shrink with devices today: per-surfel
-            # preprocess, depth argsort and the [rec,N] record pack all
-            # run over the full N on every device
-            "per_surfel_work_duplication": nd,
+            # shard_preprocess (parallel/shard.py, default on): per-surfel
+            # preprocess + record pack run on N/n_tile surfels per device
+            # with the FULL camera, all-gathered along 'tile' and
+            # slab-shifted (shift_packT / bin_slab_from_inputs) — no
+            # duplication. Only the [N] depth argsort inside each slab's
+            # binning remains per-device.
+            "preprocess_pack_duplication": 1,
+            "depth_argsort_duplication": nd,
         }), flush=True)
 
 

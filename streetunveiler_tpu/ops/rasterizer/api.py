@@ -109,6 +109,164 @@ def _gather_records_bwd(res, g):
 _gather_records.defvjp(_gather_records_fwd, _gather_records_bwd)
 
 
+def bin_inputs_for_camera(means3d, scales, quats, opacities, w2c, K,
+                          settings: RasterizeSettings,
+                          center2d_offset=None):
+    """Full-frame, slab-shiftable binning inputs (stop-grad).
+
+    Returns ``(center2d, ext, depth, valid, cull)`` computed once with
+    the FULL camera. A tile-sharded step computes these for a SHARD of
+    surfels per device, all-gathers along 'tile', and derives each
+    slab's binning via ``bin_slab_from_inputs`` — the per-surfel
+    preprocess then runs once per data replica instead of once per tile
+    device (VERDICT r3 #3). ``valid`` here uses the full-frame
+    on-screen test; slab visibility (a subset) is re-derived per slab.
+    """
+    n = means3d.shape[0]
+    zeros3 = jnp.zeros((n, 3))
+    sur = preprocess_surfels(means3d, scales, quats, opacities, zeros3,
+                             w2c, K, settings,
+                             center2d_offset=center2d_offset)
+    sg = jax.lax.stop_gradient
+    return (sg(sur.center2d), sg(sur.ext), sg(sur.depth), sur.valid,
+            sg(sur.cull))
+
+
+def bin_slab_from_inputs(inputs, row0, width: int, slab_h: int,
+                         duplicate_capacity: int,
+                         max_tiles_per_surfel: int = 64,
+                         interpret: bool | None = None):
+    """Slab binning from full-frame ``bin_inputs_for_camera`` outputs.
+
+    The slab camera is the full camera with ``cy -= row0`` (an exact
+    crop), which acts linearly on every binning input:
+    * ``center2d``: y shifts by −row0;
+    * ``ext``: invariant (the conic's axis extents only translate);
+    * ``cull``: k(p) = A + px·B + py·C, so py → py − row0 under the crop
+      means the constant term becomes A + row0·C (equivalently: the
+      M y-row r2' = r2 − row0·r3 gives A' = r1×r2' = A + row0·(r3×r1));
+      B, C, ρ_max, d²max are invariant;
+    * ``valid``: full-frame validity ∧ the slab's on-screen test (slab
+      visibility implies full-frame visibility, so the full-frame flag
+      is a safe base).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    c2d, ext, depth, valid, cull = inputs
+    r0 = jnp.float32(row0)
+    c2d_s = c2d - jnp.stack([jnp.float32(0.0), r0])
+    cull_s = cull.at[:, 0:3].add(r0 * cull[:, 6:9])
+    on_s = ((c2d_s[:, 0] + ext[:, 0] > 0)
+            & (c2d_s[:, 0] - ext[:, 0] < width)
+            & (c2d_s[:, 1] + ext[:, 1] > 0)
+            & (c2d_s[:, 1] - ext[:, 1] < slab_h))
+    valid_s = valid & on_s
+    return bin_surfels_stream(c2d_s, ext, depth, valid_s, width, slab_h,
+                              TILE_W, TILE_H, duplicate_capacity,
+                              max_tiles_per_surfel, cull=cull_s,
+                              interpret=interpret)
+
+
+def encode_extra(extra_payload, class_gates):
+    """Fold ``class_gates`` [N, G] bool into one exact-float bitmask row
+    appended after ``extra_payload`` (shares the record pack + duplicate
+    gather). Returns (pack_extra, n_gates)."""
+    if class_gates is None:
+        return extra_payload, 0
+    n_gates = class_gates.shape[1]
+    powers = jnp.asarray(2.0 ** jnp.arange(n_gates), jnp.float32)
+    grow = jnp.sum(class_gates.astype(jnp.float32) * powers, axis=1,
+                   keepdims=True)
+    return (grow if extra_payload is None
+            else jnp.concatenate([extra_payload, grow], axis=1)), n_gates
+
+
+def shift_packT(packT, row0):
+    """Re-express full-camera packed records for a row-slab crop.
+
+    A slab camera differs from the full camera only by the principal
+    point ``cy -= row0`` (parallel/shard.py's exact crop), which acts
+    LINEARLY on the packed records: the y-components of M's stored
+    columns (rows 1, 4) lose ``row0 ×`` their z-components (rows 2, 5),
+    and the projected center's y row (7) shifts by ``row0``. Everything
+    else (depth, opacity, color, normal, extra payload) is
+    K-independent. This is what lets the tile-sharded step preprocess
+    each surfel ONCE per data replica (sharded over 'tile', then
+    all-gathered) instead of once per tile device — VERDICT r3 #3.
+
+    The zero padding column stays non-contributing (its opacity row is
+    0), though its center row becomes −row0.
+    """
+    r0 = jnp.float32(row0)
+    return (packT.at[1].add(-r0 * packT[2])
+                 .at[4].add(-r0 * packT[5])
+                 .at[7].add(-r0))
+
+
+def rasterize_stream(recT, radii, settings: RasterizeSettings, binning,
+                     bg=None, nq: int = NQ, gates_n: int = 0,
+                     interpret: bool | None = None) -> RenderOutput:
+    """Blend + image assembly over an already-gathered record stream.
+
+    ``recT`` [rec, cap] comes from ``_gather_records(packT,
+    binning.sorted_surfel)``; ``settings.height`` is the height the
+    binning was built for (a slab height in the tile-sharded step).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    num_tiles = binning.tiles_x * binning.tiles_y
+    ch = ch_for(nq)
+    acc, lk = blend_stream(recT, binning.tile_of_visit,
+                           binning.chunk_of_visit, binning.first_of_tile,
+                           binning.last_of_tile, binning.init_rev,
+                           binning.lane_lo, binning.lane_hi,
+                           num_tiles, binning.tiles_x, settings, interpret,
+                           nq, gates_n, Q_ROW0 + nq)
+    ch_tot = ch + 4 * gates_n
+
+    # [T, PIX, ch_tot] → [ch_tot, H, W]
+    h, w_img = settings.height, settings.width
+    img = acc.reshape(binning.tiles_y, binning.tiles_x, TILE_H, TILE_W,
+                      ch_tot)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(
+        ch_tot, binning.tiles_y * TILE_H, binning.tiles_x * TILE_W)
+    img = img[:, :h, :w_img]
+
+    class_dist = None
+    if gates_n:
+        # fused gated chains: per class (alpha, m1, m2, lk) after the main
+        # channels; distortion_g telescopes like the main term below
+        al = img[ch + 0::4]
+        m1d = img[ch + 1::4]
+        m2d = img[ch + 2::4]
+        class_dist = jnp.moveaxis(al * m2d - m1d * m1d, 0, -1)
+
+    color = jnp.moveaxis(img[0:3], 0, -1)
+    alpha = img[nq]
+    if bg is not None:
+        color = color + (1.0 - alpha)[..., None] * bg
+
+    # Depth distortion via the symmetric-pair identity: the ordered pairwise
+    # sum Σ_{j<i} w_i w_j (m_i−m_j)² telescopes to alpha·M2 − M1² — exact,
+    # and its backward flows through the channel cotangents automatically.
+    m1 = img[nq + 3]
+    m2 = img[nq + 4]
+    distortion = alpha * m2 - m1 * m1
+
+    return RenderOutput(
+        color=color,
+        alpha=alpha,
+        expected_depth=img[nq + 1],
+        normal=jnp.moveaxis(img[3:6], 0, -1),
+        median_depth=jax.lax.stop_gradient(img[nq + 5]),
+        distortion=distortion,
+        radii=radii,
+        overflow=binning.overflow,
+        extra=(None if nq == NQ else jnp.moveaxis(img[6:nq], 0, -1)),
+        class_dist=class_dist,
+    )
+
+
 def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
               settings: RasterizeSettings, bg=None,
               max_tiles_per_surfel: int = 64,
@@ -168,17 +326,7 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
                              w2c, K, settings, center2d_offset=center2d_offset)
 
     nq = NQ + (0 if extra_payload is None else extra_payload.shape[1])
-    ch = ch_for(nq)
-    pack_extra = extra_payload
-    if class_gates is not None:
-        # per-surfel class bitmask as ONE exact-float record row past the
-        # main payload — shares the record pack and the duplicate gather
-        n_gates = class_gates.shape[1]
-        powers = jnp.asarray(2.0 ** jnp.arange(n_gates), jnp.float32)
-        grow = jnp.sum(class_gates.astype(jnp.float32) * powers, axis=1,
-                       keepdims=True)
-        pack_extra = (grow if pack_extra is None
-                      else jnp.concatenate([pack_extra, grow], axis=1))
+    pack_extra, gates_n = encode_extra(extra_payload, class_gates)
 
     sg = jax.lax.stop_gradient
     if binning is None:
@@ -198,58 +346,7 @@ def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
     # per-duplicate gather; builds the kernels' [rec, cap] layout directly
     recT = _gather_records(pack_geometry_T(sur, n, pack_extra),
                            binning.sorted_surfel)
-
-    num_tiles = binning.tiles_x * binning.tiles_y
-    gates_n = 0 if class_gates is None else n_gates
-    acc, lk = blend_stream(recT, binning.tile_of_visit,
-                           binning.chunk_of_visit, binning.first_of_tile,
-                           binning.last_of_tile, binning.init_rev,
-                           binning.lane_lo, binning.lane_hi,
-                           num_tiles, binning.tiles_x, settings, interpret,
-                           nq, gates_n, Q_ROW0 + nq)
-    ch_tot = ch + 4 * gates_n
     # (tiles with no duplicates get an empty init-only visit that zeroes
-    # their blocks in-kernel — no counts>0 masking pass needed here)
-
-    # [T, PIX, ch_tot] → [ch_tot, H, W]
-    h, w_img = settings.height, settings.width
-    img = acc.reshape(binning.tiles_y, binning.tiles_x, TILE_H, TILE_W,
-                      ch_tot)
-    img = img.transpose(4, 0, 2, 1, 3).reshape(
-        ch_tot, binning.tiles_y * TILE_H, binning.tiles_x * TILE_W)
-    img = img[:, :h, :w_img]
-
-    class_dist = None
-    if class_gates is not None:
-        # fused gated chains: per class (alpha, m1, m2, lk) after the main
-        # channels; distortion_g telescopes like the main term below
-        al = img[ch + 0::4]
-        m1d = img[ch + 1::4]
-        m2d = img[ch + 2::4]
-        class_dist = jnp.moveaxis(al * m2d - m1d * m1d, 0, -1)
-
-    color = jnp.moveaxis(img[0:3], 0, -1)
-    alpha = img[nq]
-    if bg is not None:
-        color = color + (1.0 - alpha)[..., None] * bg
-
-    # Depth distortion via the symmetric-pair identity: the ordered pairwise
-    # sum Σ_{j<i} w_i w_j (m_i−m_j)² telescopes to alpha·M2 − M1² — exact,
-    # and its backward flows through the channel cotangents automatically.
-    m1 = img[nq + 3]
-    m2 = img[nq + 4]
-    distortion = alpha * m2 - m1 * m1
-
-    return RenderOutput(
-        color=color,
-        alpha=alpha,
-        expected_depth=img[nq + 1],
-        normal=jnp.moveaxis(img[3:6], 0, -1),
-        median_depth=jax.lax.stop_gradient(img[nq + 5]),
-        distortion=distortion,
-        radii=sur.radius,
-        overflow=binning.overflow,
-        extra=(None if extra_payload is None
-               else jnp.moveaxis(img[6:nq], 0, -1)),
-        class_dist=class_dist,
-    )
+    # their blocks in-kernel — no counts>0 masking pass needed)
+    return rasterize_stream(recT, sur.radius, settings, binning, bg=bg,
+                            nq=nq, gates_n=gates_n, interpret=interpret)

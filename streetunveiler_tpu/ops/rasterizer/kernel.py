@@ -580,7 +580,8 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
 
 # ------------------------------------------------------------- public core
 
-def pack_geometry_T(sur, n_surfels: int, extra_payload=None):
+def pack_geometry_T(sur, n_surfels: int, extra_payload=None,
+                    pad_column: bool = True):
     """SurfelScreen → packed per-surfel records, LANE-major [rec, N+1].
 
     Column N is the zero padding record referenced by stream-pad slots
@@ -610,6 +611,11 @@ def pack_geometry_T(sur, n_surfels: int, extra_payload=None):
     rec = jnp.concatenate(cols, axis=1)
     pad = rec_rows - rec.shape[1]
     rec = jnp.concatenate([rec, jnp.zeros((n_surfels, pad))], axis=1)
+    if not pad_column:
+        # caller appends the padding record itself (e.g. after an
+        # all_gather of per-shard packs, where a per-shard pad column
+        # would corrupt the gathered column indexing)
+        return rec.T
     return jnp.concatenate([rec, jnp.zeros((1, rec_rows))], axis=0).T
 
 

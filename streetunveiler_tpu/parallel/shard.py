@@ -31,13 +31,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import OptimizationParams
 from ..models.gaussians import SurfelState, add_densification_stats
-from ..renderer import render
+from ..renderer import finalize_render, render, surfel_colors
 from ..scene.cameras import Camera
 from ..train.losses import l1_loss, psnr, ssim
 from ..train.optim import AdamState, adam_update
 from ..train.schedule import expon_lr
 from ..train.step import make_lrs
-from ..ops.rasterizer.kernel import TILE_H
+from ..ops.rasterizer.api import (_gather_records, bin_inputs_for_camera,
+                                  bin_slab_from_inputs, encode_extra,
+                                  rasterize_stream, shift_packT)
+from ..ops.rasterizer.kernel import NQ, TILE_H, pack_geometry_T
+from ..ops.rasterizer.preprocess import preprocess_surfels
+from ..ops.rasterizer.types import RasterizeSettings
 
 try:
     shard_map = jax.shard_map
@@ -68,7 +73,8 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
                             class_dist: bool = False,
                             sky: bool = False,
                             sky_lr: float = 1e-4,
-                            two_phase: bool = True):
+                            two_phase: bool = True,
+                            shard_preprocess: bool = True):
     """Build the jitted multi-chip training step.
 
     Step signature:
@@ -126,6 +132,61 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
             return full
         return -(-(2 * full // n_tile) // 128) * 128
 
+    def _tile_shard(leaf):
+        """This tile-device's contiguous surfel-axis slice."""
+        nt = jax.lax.axis_size("tile")
+        me = jax.lax.axis_index("tile")
+        sz = leaf.shape[0] // nt
+        return jax.lax.dynamic_slice_in_dim(leaf, me * sz, sz, 0)
+
+    def _use_shard_pre(n_surfels: int) -> bool:
+        return (shard_preprocess and n_tile > 1
+                and n_surfels % n_tile == 0)
+
+    def _render_shard_pre(params, aux_state, w2c, K, cam_slab, bg,
+                          active_sh, row0, c2d_off, extra, gates,
+                          binning):
+        """Slab render with the per-surfel preprocess SHARDED over 'tile'.
+
+        Each tile device preprocesses + packs N/n_tile surfels with the
+        FULL camera, all-gathers the packed records along 'tile', and
+        re-expresses them for its slab with the linear ``shift_packT``
+        — per-surfel work runs once per data replica instead of once
+        per tile device (VERDICT r3 #3). The all_gather's VJP is a
+        psum-scatter, so each device's backward runs the preprocess VJP
+        on its shard only.
+        """
+        sl = _tile_shard
+        params_s = jax.tree.map(sl, params)
+        state_s = dataclasses.replace(aux_state, params=params_s,
+                                      alive=sl(aux_state.alive))
+        cam_full = Camera(w2c=w2c, K=K, width=width, height=height)
+        colors = surfel_colors(state_s, cam_full, active_sh)
+        st_full = RasterizeSettings(width=width, height=height,
+                                    znear=0.2, zfar=100.0)
+        pack_extra, gates_n = encode_extra(extra, gates)
+        sur = preprocess_surfels(
+            params_s.xyz, state_s.get_scaling(), state_s.get_rotation(),
+            state_s.get_opacity()[:, 0], colors, w2c, K, st_full,
+            center2d_offset=sl(c2d_off))
+        n_s = params_s.xyz.shape[0]
+        packT_s = pack_geometry_T(
+            sur, n_s, None if pack_extra is None else sl(pack_extra),
+            pad_column=False)
+        packT = jax.lax.all_gather(packT_s, "tile", axis=1, tiled=True)
+        packT = jnp.concatenate(
+            [packT, jnp.zeros((packT.shape[0], 1))], axis=1)
+        radii = jax.lax.all_gather(sur.radius, "tile", axis=0, tiled=True)
+        recT = _gather_records(shift_packT(packT, row0),
+                               binning.sorted_surfel)
+        st_slab = RasterizeSettings(width=width, height=slab,
+                                    znear=0.2, zfar=100.0)
+        nq = NQ + (0 if extra is None else extra.shape[1])
+        out = rasterize_stream(recT, radii, st_slab, binning,
+                               bg=jnp.asarray(bg), nq=nq, gates_n=gates_n,
+                               interpret=interpret)
+        return finalize_render(out, cam_slab)
+
     def local_loss(params, aux_state, w2c, K, gt_slab, gt_sem_slab, bg,
                    iteration, row0, c2d_off, sky_p, binning=None):
         state = dataclasses.replace(aux_state, params=params)
@@ -142,11 +203,17 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
             gates = jnp.stack(
                 [semantic_class_mask(state, 1 << ci, reverse=True)
                  for ci in range(6) if ci != _CI["sky"]], axis=1)
-        res = render(cam, state, bg, active_sh_degree=active_sh,
-                     center2d_offset=c2d_off, interpret=interpret,
-                     duplicate_capacity=slab_capacity(params.xyz.shape[0]),
-                     extra_payload=extra, class_gates=gates,
-                     binning=binning)
+        if binning is not None and _use_shard_pre(params.xyz.shape[0]):
+            res = _render_shard_pre(params, aux_state, w2c, K, cam, bg,
+                                    active_sh, row0, c2d_off, extra,
+                                    gates, binning)
+        else:
+            res = render(cam, state, bg, active_sh_degree=active_sh,
+                         center2d_offset=c2d_off, interpret=interpret,
+                         duplicate_capacity=slab_capacity(
+                             params.xyz.shape[0]),
+                         extra_payload=extra, class_gates=gates,
+                         binning=binning)
         image = res.render
         if sky:
             from ..models.sky import render_sky
@@ -190,17 +257,42 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
         Returns a StreamBinning pytree with leading [1(tile), B_local]
         axes so the out_spec P('tile', 'data') reassembles the global
         [n_tile, B, ...] arrays (each (data, tile) device bins its OWN
-        slab crop — the content varies along both mesh axes)."""
+        slab crop — the content varies along both mesh axes).
+
+        With ``shard_preprocess`` the per-surfel binning inputs
+        (center2d/ext/depth/valid/cull) are computed for a SHARD of
+        surfels per tile device with the FULL camera, all-gathered
+        along 'tile', and slab-shifted — only the depth argsort and
+        the per-duplicate stream stay per-slab (VERDICT r3 #3)."""
         from ..renderer import bin_camera
         row0 = jax.lax.axis_index("tile") * slab
         state = dataclasses.replace(aux_state, params=params)
+        cap = slab_capacity(params.xyz.shape[0])
 
-        def one_cam(w2c, K):
-            Kslab = K.at[1, 2].add(-row0.astype(jnp.float32))
-            cam = Camera(w2c=w2c, K=Kslab, width=width, height=slab)
-            return bin_camera(cam, state, interpret=interpret,
-                              duplicate_capacity=slab_capacity(
-                                  params.xyz.shape[0]))
+        if _use_shard_pre(params.xyz.shape[0]):
+            sl = _tile_shard
+            params_s = jax.tree.map(sl, params)
+            state_s = dataclasses.replace(aux_state, params=params_s,
+                                          alive=sl(aux_state.alive))
+            st_full = RasterizeSettings(width=width, height=height,
+                                        znear=0.2, zfar=100.0)
+
+            def one_cam(w2c, K):
+                inputs_s = bin_inputs_for_camera(
+                    params_s.xyz, state_s.get_scaling(),
+                    state_s.get_rotation(), state_s.get_opacity()[:, 0],
+                    w2c, K, st_full)
+                inputs = jax.tree.map(
+                    lambda l: jax.lax.all_gather(l, "tile", axis=0,
+                                                 tiled=True), inputs_s)
+                return bin_slab_from_inputs(inputs, row0, width, slab,
+                                            cap, interpret=interpret)
+        else:
+            def one_cam(w2c, K):
+                Kslab = K.at[1, 2].add(-row0.astype(jnp.float32))
+                cam = Camera(w2c=w2c, K=Kslab, width=width, height=slab)
+                return bin_camera(cam, state, interpret=interpret,
+                                  duplicate_capacity=cap)
 
         b = jax.vmap(one_cam)(w2c_b, k_b)
         return jax.tree.map(lambda l: l[None], b)

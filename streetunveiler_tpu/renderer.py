@@ -145,7 +145,13 @@ def render(camera: Camera, state: SurfelState, bg,
                  opac, colors, camera.w2c, camera.K, settings,
                  bg=jnp.asarray(bg), center2d_offset=center2d_offset,
                  **kwargs)
+    return finalize_render(out, camera, depth_ratio=depth_ratio)
 
+
+def finalize_render(out, camera: Camera, depth_ratio: float = 0.0
+                    ) -> RenderResult:
+    """RenderOutput → the reference render-dict contract (depth mix +
+    depth→normal pseudo surface, ``gaussian_renderer/__init__.py:149-174``)."""
     alpha = out.alpha
     exp_depth = jnp.nan_to_num(out.expected_depth
                                / jnp.maximum(alpha, 1e-8))

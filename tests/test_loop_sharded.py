@@ -217,3 +217,56 @@ def test_sharded_loop_buckets_mixed_camera_sizes():
     assert len(reps) == 2
     assert np.isfinite([r.loss for r in reps]).all()
     assert np.isfinite([r.psnr for r in reps]).all()
+
+
+def test_shard_preprocess_matches_replicated():
+    """VERDICT r3 #3: the tile-sharded-preprocess path (per-surfel
+    preprocess/pack sharded over 'tile', all-gathered, slab-shifted)
+    must reproduce the replicated-preprocess step — same forward
+    metrics AND same updated parameters (gradients flow through the
+    all_gather's psum-scatter VJP)."""
+    from streetunveiler_tpu.config import OptimizationParams
+    from streetunveiler_tpu.parallel.shard import (make_mesh,
+                                                   make_sharded_train_step)
+    from streetunveiler_tpu.scene.readers import make_synthetic_street
+    from streetunveiler_tpu.scene.scene import Scene
+    from streetunveiler_tpu.train.step import init_optimizer
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    info = make_synthetic_street(n_points=300, n_cameras=2, width=64,
+                                 height=64, focal=40.0, seed=6)
+    scene = Scene(info)
+    state = scene.create_state(capacity=512)   # 512 % 4 == 0
+    opt = OptimizationParams(semantic_dist_from_iter=2)  # late phase on
+    opt_state = init_optimizer(state)
+    cam = scene.train_cameras[0]
+    gt = jnp.asarray(scene.train_images[0])
+    gt_sem = jnp.asarray(scene.train_semantics[0])[None]
+    bg = jnp.zeros(3)
+    mesh = make_mesh(1, 4)
+
+    outs = {}
+    for flag in (False, True):
+        step = make_sharded_train_step(mesh, opt, 64, 64, semantics=True,
+                                       class_dist=True,
+                                       shard_preprocess=flag)
+        s2, _, m = step(state, opt_state, cam.w2c[None], cam.K[None],
+                        gt[None], bg, jnp.asarray(3), gt_sem)
+        outs[flag] = (s2, m)
+
+    (s_rep, m_rep), (s_shd, m_shd) = outs[False], outs[True]
+    for k in ("loss", "l1", "ssim", "psnr", "semantic"):
+        np.testing.assert_allclose(float(m_rep[k]), float(m_shd[k]),
+                                   rtol=2e-4, atol=1e-6,
+                                   err_msg=f"metric {k}")
+    # parameters after one update must agree (grad path parity)
+    for name in ("xyz", "scaling", "rotation", "opacity", "features_dc"):
+        a = np.asarray(getattr(s_rep.params, name))
+        b = np.asarray(getattr(s_shd.params, name))
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-6,
+                                   err_msg=f"param {name}")
+    # densification stats ride the same grads
+    np.testing.assert_allclose(np.asarray(s_rep.grad_accum),
+                               np.asarray(s_shd.grad_accum),
+                               rtol=5e-3, atol=1e-7)
