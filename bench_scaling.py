@@ -99,8 +99,13 @@ def decompose():
             # with the FULL camera, all-gathered along 'tile' and
             # slab-shifted (shift_packT / bin_slab_from_inputs) — no
             # duplication. Only the [N] depth argsort inside each slab's
-            # binning remains per-device.
-            "preprocess_pack_duplication": 1,
+            # binning remains per-device. The factor is nd in the
+            # fallback paths (shard_preprocess engages only for nd > 1
+            # with N % nd == 0 and a two-phase binning — the sharded
+            # loop's defaults; ADVICE r4).
+            "preprocess_pack_duplication": 1 if (nd > 1 and n % nd == 0)
+                                          else nd if nd > 1 else 1,
+            "shard_preprocess_engaged": bool(nd > 1 and n % nd == 0),
             "depth_argsort_duplication": nd,
         }), flush=True)
 

@@ -62,3 +62,20 @@ def load_scene_info(model: ModelParams, seed: int = 0):
                                   colmap_path=model.colmap_path, **frames)
     raise ValueError(f"unknown scene kind {kind!r}; expected one of "
                      f"{SCENE_KINDS}")
+
+
+def scene_background(scene, white_background: bool = False):
+    """The background color every driver must composite on: white when the
+    reference's -w flag is set, else the background GT images were built
+    on when the reader knows it (SceneInfo.background — the synthetic
+    reader's sky color), else black.
+
+    Training/eval on a DIFFERENT background than the GT's makes every
+    empty-sky pixel unfittable — at config-2 scale that is ~25% of each
+    frame and a hard ~12-PSNR ceiling (the round-4 plateau)."""
+    import jax.numpy as jnp
+    if white_background:
+        return jnp.ones(3)
+    if getattr(scene, "background", None) is not None:
+        return jnp.asarray(scene.background, jnp.float32)
+    return jnp.zeros(3)

@@ -83,16 +83,25 @@ def main(argv=None):
     sky_params = load_sky_for_iteration(args.model_path, iteration, state)
 
     # ModelParams.white_background is a real config field persisted in
-    # cfg_args.json (reference -w flag)
-    bg = jnp.array([1.0, 1.0, 1.0]) if model.white_background \
-        else jnp.zeros(3)
+    # cfg_args.json (reference -w flag); otherwise the scene's own GT
+    # background (cli/common.py scene_background)
+    from .common import scene_background
+    bg = scene_background(scene, model.white_background)
+
+    # demand-measured duplicate capacity: trained/densified states easily
+    # exceed the 4.5-tiles/surfel default, which would silently drop the
+    # farthest surfels from every render (renderer.py
+    # measure_duplicate_capacity)
+    from ..renderer import measure_duplicate_capacity
+    dup_cap = measure_duplicate_capacity(scene.train_cameras, state)
+    print(f"duplicate capacity (measured): {dup_cap}")
 
     # jit over the Camera pytree: per-view w2c/K are traced arrays,
     # width/height static — correct for multi-camera rigs with distinct
     # intrinsics (one compile per distinct image size)
     @jax.jit
     def render_view(cam, sky_p):
-        res = render(cam, state, bg)
+        res = render(cam, state, bg, duplicate_capacity=dup_cap)
         img = res.render
         if sky_p is not None:
             from ..models.sky import render_sky
@@ -100,7 +109,8 @@ def main(argv=None):
             sky = render_sky(sky_p, cam.height, cam.width, cam.K, c2w)
             img = img + sky * (1.0 - res.rend_alpha)[..., None]
         nrm = res.rend_normal_world(cam)
-        sem = render_semantic(cam, state) if args.semantics else None
+        sem = render_semantic(cam, state, duplicate_capacity=dup_cap) \
+            if args.semantics else None
         return img, res.surf_depth, nrm, sem
 
     def render_split(split, cameras, images):
@@ -151,7 +161,8 @@ def main(argv=None):
         from ..mesh import keep_large_clusters
         verts, faces, colors = extract_mesh(
             fuse_cams, state, bg=bg, voxel_size=voxel,
-            depth_ratio=args.depth_ratio, min_cluster_frac=0.0)
+            depth_ratio=args.depth_ratio, min_cluster_frac=0.0,
+            duplicate_capacity=dup_cap)
         save_mesh_ply(os.path.join(mesh_dir, "fuse.ply"), verts, faces,
                       colors)
         if faces.shape[0]:

@@ -109,11 +109,18 @@ def main(argv=None):
                 optimization=opt,
                 scene={"cameras_extent": float(scene.cameras_extent)})
     scene.save_cameras_json()   # reference scene/__init__.py:79-83
-    state = scene.create_state(capacity=args.capacity)
+    state = scene.create_state(capacity=args.capacity,
+                               sh_degree=model.sh_degree)
     print(f"scene: {len(scene.train_cameras)} train / "
           f"{len(scene.test_cameras)} test cameras, "
           f"{int(state.num_alive)} init surfels, "
           f"capacity {state.capacity}, extent {scene.cameras_extent:.1f}")
+
+    # composite on the scene's own GT background (cli/common.py
+    # scene_background; white with -w) — a mismatched background makes
+    # empty-sky pixels unfittable (round-4 config-2 plateau)
+    from .common import scene_background
+    bg = scene_background(scene, model.white_background)
 
     sky_params = None
     if args.sky:
@@ -154,7 +161,7 @@ def main(argv=None):
         from ..utils.logging import profile_trace
         cam0 = scene.train_cameras[0]
         img0 = jnp.asarray(scene.train_images[0])
-        bg0 = jnp.zeros(3)
+        bg0 = bg
         s, o = state, opt_state
         s, o, *_ = train_step(s, o, cam0, img0, bg0, jnp.asarray(1), opt,
                               duplicate_capacity=dup_cap)   # compile
@@ -171,7 +178,7 @@ def main(argv=None):
         from ..train.loop import train_scene_sharded
         state, sky_params, _ = train_scene_sharded(
             scene, state, opt, n_tile=args.tile_devices,
-            n_data=args.data_devices, sky_params=sky_params,
+            n_data=args.data_devices, sky_params=sky_params, bg=bg,
             iterations=iterations, start_iteration=start_iteration,
             save_iterations=saves, log_every=args.log_every,
             duplicate_capacity=dup_cap, use_semantics=args.semantics,
@@ -179,7 +186,7 @@ def main(argv=None):
             logger=logger, opt_state=opt_state)
     else:
         state, sky_params, _ = train_scene(
-            scene, state, opt, sky_params=sky_params,
+            scene, state, opt, sky_params=sky_params, bg=bg,
             iterations=iterations, start_iteration=start_iteration,
             save_iterations=saves, log_every=args.log_every,
             eval_every=args.eval_every, duplicate_capacity=dup_cap,

@@ -133,6 +133,13 @@ def main(argv=None):
     ws = os.path.join(args.model_path, f"instance_workspace_{rnd}")
     os.makedirs(ws, exist_ok=True)
 
+    # demand-measured duplicate capacity: trained/densified states far
+    # exceed the 4.5-tiles/surfel default — a truncated stream silently
+    # drops the farthest surfels from every stage render/mask/re-opt
+    from ..renderer import measure_duplicate_capacity
+    dup_cap = measure_duplicate_capacity(scene.train_cameras, state)
+    print(f"duplicate capacity (measured): {dup_cap}")
+
     # sky composite for conditions/final renders (train.py:114-115)
     sky_params = load_sky_for_iteration(args.model_path, iteration, state)
     sky_images = None
@@ -154,7 +161,8 @@ def main(argv=None):
     np.save(os.path.join(ws, "cluster_labels.npy"), cl.labels)
     solid = render_instance_previews(
         scene, state, cl, ws, min_size=min_size,
-        close_depth=max(4.0, 0.3 * scene.cameras_extent))
+        close_depth=max(4.0, 0.3 * scene.cameras_extent),
+        duplicate_capacity=dup_cap)
     print(f"stage A: {len(cl.cluster_sizes)} clusters "
           f"(top sizes {cl.cluster_sizes[:5]}), "
           f"{int(solid.sum())} surfels in solid clusters; previews in "
@@ -182,10 +190,12 @@ def main(argv=None):
     fe = int(scene.camera_frame_dict.get("front_end", n_cams))
     front_frames = list(range(fs, fe))
 
-    bg = jnp.zeros(3)
+    from .common import scene_background
+    bg = scene_background(scene)
     frame_masks = write_inpaint_conditions(scene, state, masks.removed, ws,
                                            bg, sky_images=sky_images,
-                                           frames=front_frames)
+                                           frames=front_frames,
+                                           duplicate_capacity=dup_cap)
     print(f"stage B: removing {int(removal.sum())} surfels, "
           f"{int(masks.trainable.sum())} trainable; conditions in {ws} "
           f"(front frames {fs}..{fe - 1})")
@@ -201,7 +211,8 @@ def main(argv=None):
     inpainter = make_inpainter(args.inpainter, timeout=args.inpaint_timeout)
     final, _, targets = unveil(scene, state, masks, key_frames, inpainter,
                                opt=opt, sky_images=sky_images,
-                               frame_masks=frame_masks, seed=args.seed)
+                               frame_masks=frame_masks, seed=args.seed,
+                               duplicate_capacity=dup_cap)
 
     out = os.path.join(ws, "checkpoint")
     state_to_ply(os.path.join(out, "point_cloud.ply"), final)
@@ -220,7 +231,7 @@ def main(argv=None):
     # distinct intrinsics (one compile per distinct image size)
     @jax.jit
     def render_final(cam):
-        res = render(cam, final, bg)
+        res = render(cam, final, bg, duplicate_capacity=dup_cap)
         return res.render, res.rend_alpha
 
     for i, cam in enumerate(scene.train_cameras):

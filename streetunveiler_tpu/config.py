@@ -85,6 +85,12 @@ class OptimizationParams:
     densify_from_iter: int = 500
     densify_until_iter: int = 25_000
     densify_grad_threshold: float = 2e-4
+    # screen-size prune after the first opacity reset (the reference
+    # hardcodes 20 px, train.py:172-173 — appropriate for its ~1600-px
+    # real scenes). Scenes whose legitimate splats project larger (e.g.
+    # near-field geometry at short focal lengths) must raise this or the
+    # post-reset prune mass-extincts the model; 0 disables.
+    max_screen_size: float = 20.0
 
     semantic_dist_from_iter: int = 27_500
     normal_consist_from_iter: int = 30_000

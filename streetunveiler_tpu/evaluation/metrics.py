@@ -54,13 +54,34 @@ def evaluate_dirs(render_dir: str, gt_dir: str,
     return out
 
 
-def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     """FID's Fréchet distance between two Gaussians (the math half of the
-    reference's pytorch_fid protocol; pair with any feature extractor)."""
+    reference's pytorch_fid protocol; pair with any feature extractor).
+
+    Degenerate covariances (fewer samples than feature dims — routine for
+    small eval sets) make ``sqrtm(sigma1 @ sigma2)`` singular; like
+    pytorch_fid's ``calculate_frechet_distance``, the product is
+    regularized with ``eps·I`` on both factors when the plain square root
+    is non-finite, instead of scoring off a scipy LinAlgWarning
+    (VERDICT r4 weak #7)."""
+    import warnings
+
     from scipy import linalg
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")   # LinAlgWarning on singular input
+        covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean, _ = linalg.sqrtm(
+            (sigma1 + offset) @ (sigma2 + offset), disp=False)
     if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0.0, atol=1e-3):
+            raise ValueError(
+                f"sqrtm produced a significantly imaginary component "
+                f"({np.max(np.abs(np.diagonal(covmean).imag)):.2e}); the "
+                f"feature covariances are too degenerate for a meaningful "
+                f"FID — use more samples")
         covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean))
 

@@ -27,8 +27,14 @@ def estimate_bounds(state, margin: float = 0.05):
 def extract_mesh(cameras, state, bg=None, voxel_size: float = 0.05,
                  sdf_trunc: float | None = None, depth_trunc: float = 100.0,
                  bounds=None, alpha_thresh: float = 0.5,
-                 min_cluster_frac: float = 0.02, depth_ratio: float = 0.0):
-    """TSDF-fuse the views and return (verts, faces, colors)."""
+                 min_cluster_frac: float = 0.02, depth_ratio: float = 0.0,
+                 duplicate_capacity: int | None = None):
+    """TSDF-fuse the views and return (verts, faces, colors).
+
+    Pass a measured ``duplicate_capacity`` (renderer.py
+    ``measure_duplicate_capacity``) for trained states — a truncated
+    duplicate stream drops the farthest surfels and punches depth holes
+    into the fusion."""
     bg = jnp.zeros(3) if bg is None else jnp.asarray(bg)
     if bounds is None:
         lo, hi = estimate_bounds(state)
@@ -39,7 +45,8 @@ def extract_mesh(cameras, state, bg=None, voxel_size: float = 0.05,
     vol = make_volume(lo, hi - lo, voxel_size)
 
     for cam in cameras:
-        res = render(cam, state, bg, depth_ratio=depth_ratio)
+        res = render(cam, state, bg, depth_ratio=depth_ratio,
+                     duplicate_capacity=duplicate_capacity)
         vol = integrate_tsdf(vol, res.surf_depth, res.render, cam.w2c,
                              cam.K, trunc=sdf_trunc,
                              depth_trunc=depth_trunc,

@@ -42,7 +42,7 @@ def default_duplicate_capacity(n_surfels: int, width: int, height: int,
 
 def bin_for_camera(means3d, scales, quats, opacities, w2c, K,
                    settings: RasterizeSettings,
-                   max_tiles_per_surfel: int = 64,
+                   max_tiles_per_surfel: int = 256,
                    duplicate_capacity: int | None = None,
                    center2d_offset=None,
                    interpret: bool | None = None):
@@ -134,7 +134,7 @@ def bin_inputs_for_camera(means3d, scales, quats, opacities, w2c, K,
 
 def bin_slab_from_inputs(inputs, row0, width: int, slab_h: int,
                          duplicate_capacity: int,
-                         max_tiles_per_surfel: int = 64,
+                         max_tiles_per_surfel: int = 256,
                          interpret: bool | None = None):
     """Slab binning from full-frame ``bin_inputs_for_camera`` outputs.
 
@@ -262,6 +262,7 @@ def rasterize_stream(recT, radii, settings: RasterizeSettings, binning,
         distortion=distortion,
         radii=radii,
         overflow=binning.overflow,
+        demand=getattr(binning, "demand", None),
         extra=(None if nq == NQ else jnp.moveaxis(img[6:nq], 0, -1)),
         class_dist=class_dist,
     )
@@ -269,7 +270,7 @@ def rasterize_stream(recT, radii, settings: RasterizeSettings, binning,
 
 def rasterize(means3d, scales, quats, opacities, colors, w2c, K,
               settings: RasterizeSettings, bg=None,
-              max_tiles_per_surfel: int = 64,
+              max_tiles_per_surfel: int = 256,
               duplicate_capacity: int | None = None,
               center2d_offset=None,
               interpret: bool | None = None,

@@ -340,7 +340,10 @@ def _fwd_kernel(tile_of_ref, chunk_of_ref, first_ref, lo_ref, hi_ref,
                     tg_carry = state_ref[:, 2 + g:3 + g]
                     done_g = state_ref[:, 2 + G + g:3 + G + g] > 0.5
                     ag = a * gates[g]
-                    logom_g = jnp.log1p(-ag)
+                    # exact for 0/1 gates: log1p(-a·g) = g·log1p(-a) —
+                    # reuses the main chain's transcendental instead of
+                    # one log1p per class per visit
+                    logom_g = gates[g] * logom
                     tg_excl = tg_carry * jnp.exp(
                         _mm_precise(logom_g, _prefix_mat(s, "excl")))
                     tg_after = tg_excl * (1.0 - ag)
@@ -427,14 +430,17 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
     # every pixel's last contributor (on every chain) precedes this chunk,
     # no pair has gidx ≤ lk — the visit is gradient-free. Suffix state is
     # unchanged (all klogom = 0); only the gradient block needs its init.
-    # f32 max: int32 reductions lower pathologically in Mosaic (see the
-    # forward kernel's med/lk comment); lk < 2^24 so f32 is exact
+    # Sum-based any(): Mosaic lowers max reductions pathologically (see
+    # the forward kernel's med/lk comment); lk < 2^24 so the f32 compare
+    # is exact and the count is what the predicate needs
     start_f = (chunk_of_ref[v] * s).astype(jnp.float32)
-    lk_max = jnp.max(lk_ref[0].astype(jnp.float32))
+    alive_cnt = jnp.sum(jnp.where(
+        lk_ref[0].astype(jnp.float32) >= start_f, 1.0, 0.0))
     for g in range(G):
-        lk_max = jnp.maximum(
-            lk_max, jnp.max(acc_ref[0][:, ch + 4 * g + 3:ch + 4 * g + 4]))
-    dead = lk_max < start_f
+        alive_cnt = alive_cnt + jnp.sum(jnp.where(
+            acc_ref[0][:, ch + 4 * g + 3:ch + 4 * g + 4] >= start_f,
+            1.0, 0.0))
+    dead = alive_cnt < 0.5
 
     @pl.when(jnp.logical_and(last_ref[v] >= 0, dead))
     def _():
@@ -463,7 +469,8 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
 
         gidx = chunk_of_ref[v] * s + iota_s
         keep = (a > 0.0) & (gidx <= lk)
-        klogom = jnp.where(keep, jnp.log1p(-a), 0.0)
+        logom = jnp.log1p(-a)
+        klogom = jnp.where(keep, logom, 0.0)
         # T_excl_j = U_in / Π_{kept i≥j}(1−α_i): inclusive reverse suffix.
         # _mm_precise is REQUIRED here, unlike the linear contractions
         # (ssuf_pair/gq_qc/dq, whose 2⁻⁸ rounding hits individual TERMS):
@@ -518,9 +525,12 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
             gates = _gate_bits(chunk[gate_row:gate_row + 1, :], G)
             for g in range(G):
                 lkg = acc_ref[0][:, ch + 4 * g + 3:ch + 4 * g + 4]
+                # sum-based any(): Mosaic lowers lane/sublane max
+                # reductions pathologically (see the forward's med/lk
+                # comment); gates are 0/1 and the lkg test is a count
                 has = jnp.logical_and(
-                    jnp.max(jnp.where(inr, gates[g], 0.0)) > 0.5,
-                    jnp.max(lkg) >= start_f)
+                    jnp.sum(jnp.where(inr, gates[g], 0.0)) > 0.5,
+                    jnp.sum(jnp.where(lkg >= start_f, 1.0, 0.0)) > 0.5)
 
                 @pl.when(has)
                 def _(g=g, lkg=lkg):
@@ -531,7 +541,9 @@ def _bwd_kernel(tile_of_ref, chunk_of_ref, last_ref, init_ref, lo_ref,
                     ssufg = state_ref[:, 2 + G + g:3 + G + g]
                     ag = a * gates[g]
                     keep_g = (ag > 0.0) & (gidx.astype(jnp.float32) <= lkg)
-                    klg = jnp.where(keep_g, jnp.log1p(-ag), 0.0)
+                    # keep_g ⊆ {gate=1}, so log1p(-ag) = log1p(-a) there —
+                    # the main chain's logom serves every class
+                    klg = jnp.where(keep_g, logom, 0.0)
                     # _mm_precise: exponent-path precision, see the main
                     # chain's t_excl comment
                     tg_excl = ug_in * jnp.exp(-_mm_precise(

@@ -64,6 +64,11 @@ class StreamBinning:
     lane_lo: jnp.ndarray         # [V] i32 first lane of this tile's range
     lane_hi: jnp.ndarray         # [V] i32 one-past-last lane
     overflow: jnp.ndarray        # [] bool — capacity exceeded
+    demand: jnp.ndarray = None   # [] i32 — UNCAPPED duplicate total (what
+    #                              the stream would need; ``overflow`` ⟺
+    #                              demand > capacity). Lets callers size a
+    #                              retry/bump capacity exactly instead of
+    #                              guessing (train loop auto-bump, GT gen)
     tiles_x: int = dataclasses.field(metadata=dict(static=True), default=0)
     tiles_y: int = dataclasses.field(metadata=dict(static=True), default=0)
 
@@ -231,7 +236,7 @@ def _expand_stream(g, total_capped, tiles_x, tile_w, tile_h, n, sentinel,
 
 def bin_surfels_stream(center2d, ext, depth, valid, width: int, height: int,
                        tile_w: int, tile_h: int, dup_capacity: int,
-                       max_tiles_per_surfel: int = 64,
+                       max_tiles_per_surfel: int = 256,
                        cull=None, interpret=None) -> StreamBinning:
     """center2d [N,2], ext [N,2] per-axis extents, depth [N], valid [N].
 
@@ -404,4 +409,4 @@ def bin_surfels_stream(center2d, ext, depth, valid, width: int, height: int,
                          first_of_tile=first_f, last_of_tile=last_f,
                          init_rev=init_rev, lane_lo=lo, lane_hi=hi,
                          tiles_x=tiles_x, tiles_y=tiles_y,
-                         overflow=total > cap)
+                         overflow=total > cap, demand=total)

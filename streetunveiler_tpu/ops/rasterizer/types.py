@@ -63,6 +63,9 @@ class RenderOutput:
     overflow: Any = False   # [] bool — duplicate stream truncated (the
     #                         farthest surfels were dropped); surface this
     #                         in training metrics to size duplicate_capacity
+    demand: Any = None  # [] i32 — uncapped duplicate total of the binning
+    #                     (the capacity an overflow-free render needs);
+    #                     drives the capacity auto-bump in the train loop
     extra: Any = None   # [H, W, E] extra payload channels blended with the
     #                     same weights as color (fused multi-pass rendering,
     #                     e.g. semantic class probabilities)

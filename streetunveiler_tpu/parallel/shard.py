@@ -248,7 +248,9 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
         stats = dict(
             l1=ll1, ssim=lssim, semantic=sem_loss,
             mse=jnp.mean((jnp.clip(image, 0.0, 1.0) - gt_slab) ** 2),
-            overflow=jnp.asarray(res.overflow).astype(jnp.float32))
+            overflow=jnp.asarray(res.overflow).astype(jnp.float32),
+            demand=(jnp.asarray(res.demand).astype(jnp.float32)
+                    if res.demand is not None else jnp.float32(0.0)))
         return loss, (image, res.radii, stats)
 
     def bin_local(params, aux_state, w2c_b, k_b):
@@ -332,11 +334,15 @@ def make_sharded_train_step(mesh: Mesh, opt: OptimizationParams,
         # batch-mean then mesh-mean (== global means over equal slabs);
         # overflow is a max (any slab of any camera overflowed its
         # slab-local duplicate capacity — the visible failure mode of the
-        # 2x/n_tile heuristic above)
+        # 2x/n_tile heuristic above); demand is the max PER-SLAB demand
+        # over the mesh (what an overflow-free slab capacity must cover —
+        # drives the loop's auto-bump)
+        dem = jax.lax.pmax(jnp.max(stats.pop("demand")), ("data", "tile"))
         stats = jax.tree.map(lambda s: jnp.mean(s, axis=0), stats)
         ovf = jax.lax.pmax(stats.pop("overflow"), ("data", "tile"))
         stats = jax.lax.pmean(stats, ("data", "tile"))
         stats["overflow"] = ovf > 0.0
+        stats["demand"] = dem.astype(jnp.int32)
         stats["psnr"] = 20.0 * jnp.log10(
             1.0 / jnp.sqrt(jnp.maximum(stats.pop("mse"), 1e-12)))
         return loss, pg, sg, vis, skg, stats

@@ -44,6 +44,7 @@ class RenderResult:
     expected_depth: Any  # [H, W] unnormalized (allmap ch0)
     median_depth: Any    # [H, W]
     overflow: Any = False   # [] bool — duplicate stream truncated
+    demand: Any = None   # [] i32 uncapped duplicate total (capacity sizing)
     extra: Any = None    # [H, W, E] fused extra payload channels
     class_dist: Any = None  # [H, W, G] fused per-class distortion maps
 
@@ -87,7 +88,7 @@ def bin_camera(camera: Camera, state: SurfelState,
                scale_modifier: float = 1.0, opacity_mask=None,
                center2d_offset=None, interpret: bool | None = None,
                duplicate_capacity: int | None = None,
-               max_tiles_per_surfel: int = 64):
+               max_tiles_per_surfel: int = 256):
     """Phase 1 of a two-phase render: tile binning alone → StreamBinning.
 
     Jit this separately and pass the result to ``render(..., binning=...)``:
@@ -107,6 +108,41 @@ def bin_camera(camera: Camera, state: SurfelState,
                           duplicate_capacity=duplicate_capacity,
                           center2d_offset=center2d_offset,
                           interpret=interpret)
+
+
+def round_capacity(demand: int, headroom: float = 1.2) -> int:
+    """Chunk-aligned static duplicate capacity for a measured demand."""
+    from .ops.rasterizer.kernel import S_CHUNK
+    cap = int(demand * headroom) + S_CHUNK
+    return -(-cap // S_CHUNK) * S_CHUNK
+
+
+def measure_duplicate_capacity(cameras, state: SurfelState,
+                               headroom: float = 1.2, sample: int = 8,
+                               interpret: bool | None = None) -> int:
+    """Measure the true duplicate demand of ``state`` over (a sample of)
+    ``cameras`` and return an overflow-free static capacity.
+
+    The binning computes its uncapped total (``StreamBinning.demand``)
+    before truncation, so the probe is exact at ANY probe capacity — one
+    cheap binning executable per distinct camera size. Use this to size
+    ``duplicate_capacity`` for eval/render/mesh drivers instead of the
+    4.5-tiles/surfel default, which silently truncates on scenes with
+    larger splats (the round-4 config-2 GT corruption: true demand was
+    6.1 tiles/surfel and every GT render dropped ~25% of its duplicates).
+    """
+    cams = list(cameras)
+    if len(cams) > sample:          # evenly spaced sample
+        idx = np.linspace(0, len(cams) - 1, sample).astype(int)
+        cams = [cams[i] for i in idx]
+    bin_jit = jax.jit(bin_camera,
+                      static_argnames=("interpret", "duplicate_capacity",
+                                       "max_tiles_per_surfel"))
+    demand = 0
+    for cam in cams:
+        b = bin_jit(cam, state, interpret=interpret)
+        demand = max(demand, int(b.demand))
+    return round_capacity(demand, headroom)
 
 
 def render(camera: Camera, state: SurfelState, bg,
@@ -171,6 +207,7 @@ def finalize_render(out, camera: Camera, depth_ratio: float = 0.0
         expected_depth=out.expected_depth,
         median_depth=out.median_depth,
         overflow=getattr(out, "overflow", False),
+        demand=getattr(out, "demand", None),
         extra=getattr(out, "extra", None),
         class_dist=getattr(out, "class_dist", None),
     )

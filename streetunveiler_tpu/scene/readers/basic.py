@@ -38,6 +38,11 @@ class SceneInfo(NamedTuple):
     # per-frame ranges for the "front" camera (reference camera_frame_dict,
     # scene/dataset_readers/waymo.py:443-449)
     camera_frame_dict: Optional[dict] = None
+    # the background color GT images were composited on, when known (the
+    # synthetic reader's sky color). Training/render MUST composite on the
+    # same background or empty-sky pixels become unfittable — a ~12-PSNR
+    # ceiling at config-2 scale (the round-4 plateau's second half).
+    background: Optional[tuple] = None
 
 
 def nerf_normalization(cam_infos) -> dict:

@@ -48,6 +48,11 @@ class Scene:
         self.only_pose = only_pose
         self.cameras_extent = float(scene_info.nerf_normalization["radius"])
         self.camera_frame_dict = scene_info.camera_frame_dict or {}
+        # the background GT images were composited on, when the reader
+        # knows it (readers/basic.py SceneInfo.background) — training and
+        # render drivers composite on the SAME color or empty-sky pixels
+        # become unfittable
+        self.background = getattr(scene_info, "background", None)
 
         def load_split(cam_infos, scale=1.0):
             cams, images, semantics = [], [], []

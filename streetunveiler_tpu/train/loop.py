@@ -35,23 +35,31 @@ class TrainReport:
     n_alive: int
     iters_per_s: float
     overflow_frac: float = 0.0   # fraction of window steps whose duplicate
-    #                              stream overflowed (raise capacity if >0)
+    #                              stream overflowed (the loop auto-bumps
+    #                              capacity when this trips)
     test_psnr: float = float("nan")
     test_l1: float = float("nan")
+    dup_capacity: int = 0        # duplicate capacity in effect (grows via
+    #                              the demand-driven auto-bump)
 
 
 @partial(jax.jit, static_argnames=("duplicate_capacity", "n_slabs"))
 def _eval_view(state, cam, gt, bg, sky_params=None, duplicate_capacity=None,
                n_slabs: int = 1):
-    """Render + PSNR/L1 for one held-out view.
+    """Render + PSNR/L1 (+ overflow/demand) for one held-out view.
 
     ``n_slabs > 1`` renders the view in that many sequential row-slabs
     (each an exact crop via a principal-point shift, the same trick the
     tile-sharded step uses) — the memory-bounded eval path for BASELINE
     config-5 scale: a 5M-surfel full-res render's duplicate stream +
     record gather is ~2 GB of f32 at once, while each slab costs ~1/n of
-    that. Slab PSNR composes exactly (mse is a mean over equal rows);
-    results are identical to the single-pass render up to fp association.
+    that (``duplicate_capacity`` is PER-SLAB in that mode). Slab PSNR
+    composes exactly (mse is a mean over equal rows); results are
+    identical to the single-pass render up to fp association.
+
+    Returns (psnr, l1, overflow_any, demand_max) so the caller can
+    auto-retry with a demand-sized capacity instead of silently scoring
+    a truncated render (ADVICE r4).
     """
     from ..renderer import render
     from ..scene.cameras import Camera
@@ -66,24 +74,42 @@ def _eval_view(state, cam, gt, bg, sky_params=None, duplicate_capacity=None,
             sky = render_sky(sky_params, camera.height, camera.width,
                              camera.K, jnp.linalg.inv(camera.w2c))
             img = img + sky * (1.0 - res.rend_alpha)[..., None]
-        return img
+        dem = res.demand if res.demand is not None else jnp.int32(0)
+        return img, jnp.asarray(res.overflow), dem
 
     if n_slabs <= 1:
-        img = render_rows(cam)
+        img, ovf, dem = render_rows(cam)
     else:
         slab = -(-cam.height // n_slabs)
-        parts = []
+        parts, ovf, dem = [], jnp.bool_(False), jnp.int32(0)
         for s in range(n_slabs):
             row0 = s * slab
             h = min(slab, cam.height - row0)
             if h <= 0:
                 break
             Kslab = cam.K.at[1, 2].add(-float(row0))
-            parts.append(render_rows(Camera(w2c=cam.w2c, K=Kslab,
-                                            width=cam.width, height=h)))
+            part, o, d = render_rows(Camera(w2c=cam.w2c, K=Kslab,
+                                            width=cam.width, height=h))
+            parts.append(part)
+            ovf = ovf | o
+            dem = jnp.maximum(dem, d)
         img = jnp.concatenate(parts, axis=0)
     img = jnp.clip(img, 0.0, 1.0)
-    return psnr_fn(img, gt), jnp.mean(jnp.abs(img - gt))
+    return psnr_fn(img, gt), jnp.mean(jnp.abs(img - gt)), ovf, dem
+
+
+def _default_slab_capacity(n_surfels: int, width: int, height: int,
+                           n_slabs: int) -> int:
+    """Per-slab capacity heuristic matching the sharded training path
+    (parallel/shard.py slab_capacity): 2× the even split of the full
+    default, so slab-bounded eval really costs ~1/n of a full render's
+    duplicate stream (ADVICE r4: a full-size default per slab defeated
+    the memory bound)."""
+    from ..ops.rasterizer.api import default_duplicate_capacity
+    full = default_duplicate_capacity(n_surfels, width, height)
+    if n_slabs <= 1:
+        return full
+    return -(-(2 * full // n_slabs) // 128) * 128
 
 
 def evaluate_views(state, cameras, images, bg, sky_params=None,
@@ -94,15 +120,29 @@ def evaluate_views(state, cameras, images, bg, sky_params=None,
 
     ``n_slabs``: render each view in sequential row-slabs to bound peak
     memory (see ``_eval_view``); the sharded loop passes its tile count
-    so eval never needs more HBM than a training slab."""
+    so eval never needs more HBM than a training slab. Views whose
+    duplicate stream overflows are re-rendered once at a demand-sized
+    capacity (monotone across views) — eval never scores a silently
+    truncated render."""
+    from ..renderer import round_capacity
     psnrs, l1s = [], []
+    cap = duplicate_capacity
     for cam, img in list(zip(cameras, images))[:max_views]:
         if img is None:
             continue
-        p, l = _eval_view(state, cam, jnp.asarray(img), bg,
-                          sky_params=sky_params,
-                          duplicate_capacity=duplicate_capacity,
-                          n_slabs=n_slabs)
+        eff = cap if cap is not None else _default_slab_capacity(
+            state.capacity, cam.width, cam.height, n_slabs)
+        p, l, ovf, dem = _eval_view(state, cam, jnp.asarray(img), bg,
+                                    sky_params=sky_params,
+                                    duplicate_capacity=eff,
+                                    n_slabs=n_slabs)
+        if bool(ovf):
+            cap = max(round_capacity(int(dem), headroom=1.2),
+                      cap or 0)
+            p, l, ovf, _ = _eval_view(state, cam, jnp.asarray(img), bg,
+                                      sky_params=sky_params,
+                                      duplicate_capacity=cap,
+                                      n_slabs=n_slabs)
         psnrs.append(float(p))
         l1s.append(float(l))
     if not psnrs:
@@ -147,7 +187,28 @@ def train_scene(scene, state: SurfelState, opt: OptimizationParams,
     reports: list[TrainReport] = []
     t_window = time.perf_counter()
     window_iters = 0
-    overflow_warned = False
+
+    # ---- demand-driven duplicate capacity (VERDICT r4 #5: the round-4
+    # config-2 plateau was silent stream truncation). Pre-flight: measure
+    # the init state's true demand over a camera sample with a TINY-probe
+    # binning (demand is exact at any probe capacity) and size the
+    # capacity with densification headroom, so the expensive train_step
+    # never compiles at a capacity the first window would outgrow.
+    from ..ops.rasterizer.api import default_duplicate_capacity
+    from ..renderer import round_capacity
+    dup_cap = duplicate_capacity
+    if dup_cap is None:
+        dup_cap = default_duplicate_capacity(state.capacity, cams[0].width,
+                                             cams[0].height)
+    probe_idx = {0, n_cams // 2, n_cams - 1}
+    need = 0
+    for i in probe_idx:
+        b = bin_step(state, cams[i], duplicate_capacity=2048)
+        need = max(need, int(b.demand))
+    if need * 1.15 > dup_cap:
+        dup_cap = round_capacity(need, headroom=1.5)
+        print(f"NOTE: init duplicate demand {need} exceeds capacity; "
+              f"sized duplicate_capacity={dup_cap}", flush=True)
 
     for iteration in range(start_iteration + 1, iterations + 1):
         if not order:
@@ -161,20 +222,21 @@ def train_scene(scene, state: SurfelState, opt: OptimizationParams,
         # the Mosaic scalar-prefetch tax, ~26 ms/step at 1920×1280 —
         # docs/profile.md; dispatch is async so the host chain is free)
         binning = bin_step(state, cams[idx],
-                           duplicate_capacity=duplicate_capacity)
+                           duplicate_capacity=dup_cap)
         state, opt_state, sky_params, sky_opt_state, metrics = train_step(
             state, opt_state, cams[idx], images[idx], bg, it, opt,
             sky_params=sky_params, sky_opt_state=sky_opt_state,
             gt_semantic=gt_sem,
             class_dist=iteration > opt.semantic_dist_from_iter,
-            duplicate_capacity=duplicate_capacity, binning=binning)
+            duplicate_capacity=dup_cap, binning=binning)
         window_iters += 1
 
         # densification (train.py:171-176)
         if iteration < opt.densify_until_iter:
             if (iteration > opt.densify_from_iter
                     and iteration % densification_interval == 0):
-                size_threshold = (20.0 if iteration > opt.opacity_reset_interval
+                size_threshold = (opt.max_screen_size or None
+                                  if iteration > opt.opacity_reset_interval
                                   else None)
                 key, sub = jax.random.split(key)
                 state, mu, nu = densify_and_prune(
@@ -198,17 +260,26 @@ def train_scene(scene, state: SurfelState, opt: OptimizationParams,
         if iteration in save_iterations and scene.model_path:
             scene.save(state, iteration)
 
+        # overflow checked every 10 iterations (not only at log
+        # boundaries): silent truncation between samples actively damages
+        # the model — measured as a 1-1.5 dB held-out decline during an
+        # unnoticed overflow stretch at config-2 scale. The sync cost is
+        # ~nothing against a real step; on overflow the capacity
+        # auto-bumps to the measured demand ×1.5 and the next iteration
+        # recompiles once at the new static capacity.
+        if iteration % 10 == 0:
+            if bool(metrics["overflow"]):
+                new_cap = round_capacity(int(metrics["demand"]),
+                                         headroom=1.5)
+                if new_cap > dup_cap:
+                    print(f"NOTE: duplicate stream overflowed at iteration "
+                          f"{iteration}; raising duplicate_capacity "
+                          f"{dup_cap} -> {new_cap}", flush=True)
+                    dup_cap = new_cap
+
         if iteration % log_every == 0 or iteration == iterations:
             dt = time.perf_counter() - t_window
-            # overflow sampled at the log boundary only (a per-step check
-            # would sync the device every iteration)
             ovf = bool(metrics["overflow"])
-            if ovf:
-                if not overflow_warned:
-                    print("WARNING: rasterizer duplicate stream overflowed "
-                          "— farthest surfels dropped; raise "
-                          "duplicate_capacity", flush=True)
-                    overflow_warned = True
             test_psnr, test_l1 = float("nan"), float("nan")
             if (eval_every and scene.test_cameras
                     and (iteration % eval_every == 0
@@ -217,14 +288,15 @@ def train_scene(scene, state: SurfelState, opt: OptimizationParams,
                     state, scene.test_cameras,
                     getattr(scene, "test_images", []), bg,
                     sky_params=sky_params, max_views=eval_max_views,
-                    duplicate_capacity=duplicate_capacity)
+                    duplicate_capacity=dup_cap)
             rep = TrainReport(iteration=iteration,
                               loss=float(metrics["loss"]),
                               psnr=float(metrics["psnr"]),
                               n_alive=int(metrics["n_alive"]),
                               iters_per_s=window_iters / max(dt, 1e-9),
                               overflow_frac=float(ovf),
-                              test_psnr=test_psnr, test_l1=test_l1)
+                              test_psnr=test_psnr, test_l1=test_l1,
+                              dup_capacity=dup_cap)
             reports.append(rep)
             if callback:
                 callback(rep)
@@ -306,12 +378,17 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
     for i, c in enumerate(cams):
         buckets.setdefault((c.width, c.height), {"idx": []})["idx"].append(i)
     steps: dict[tuple, Any] = {}
+    # per-SLAB duplicate capacity; None → the 2×/n_tile heuristic inside
+    # make_sharded_train_step. Auto-bumps on overflow (demand-driven, like
+    # the single-chip loop) — bumping drops the compiled steps and rebuilds
+    # at the new static capacity.
+    cap_holder = {"cap": duplicate_capacity}
 
     def step_for(size, late):
         if (size, late) not in steps:
             w, h = size
             steps[size, late] = make_sharded_train_step(
-                mesh, opt, w, h, duplicate_capacity=duplicate_capacity,
+                mesh, opt, w, h, duplicate_capacity=cap_holder["cap"],
                 shard_surfels=shard_surfels,
                 semantics=(True if late else use_sem),
                 class_dist=late, sky=use_sky)
@@ -351,7 +428,6 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
     reports: list[TrainReport] = []
     t_window = time.perf_counter()
     window_iters = 0
-    overflow_warned = False
 
     for iteration in range(start_iteration + 1, iterations + 1):
         size = bucket_keys[int(rng.choice(len(bucket_keys), p=bucket_p))]
@@ -388,7 +464,7 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
         if iteration < opt.densify_until_iter:
             if (iteration > opt.densify_from_iter
                     and iteration % densification_interval == 0):
-                size_threshold = (20.0
+                size_threshold = (opt.max_screen_size or None
                                   if iteration > opt.opacity_reset_interval
                                   else None)
                 key, sub = jax.random.split(key)
@@ -413,12 +489,20 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
         if iteration % log_every == 0 or iteration == iterations:
             dt = time.perf_counter() - t_window
             ovf = bool(metrics["overflow"])
-            if ovf and not overflow_warned:
-                print("WARNING: a slab's duplicate stream overflowed — "
-                      "farthest surfels dropped; raise duplicate_capacity "
-                      "(the slab-local heuristic is 2x the even split)",
-                      flush=True)
-                overflow_warned = True
+            if ovf:
+                # demand-driven slab-capacity bump (mirrors the
+                # single-chip loop): metrics["demand"] is the max
+                # per-slab demand over the mesh
+                from ..renderer import round_capacity
+                new_cap = round_capacity(int(metrics["demand"]),
+                                         headroom=1.5)
+                if new_cap > (cap_holder["cap"] or 0):
+                    print(f"NOTE: a slab's duplicate stream overflowed at "
+                          f"iteration {iteration}; raising per-slab "
+                          f"duplicate_capacity {cap_holder['cap']} -> "
+                          f"{new_cap}", flush=True)
+                    cap_holder["cap"] = new_cap
+                    steps.clear()
             test_psnr, test_l1 = float("nan"), float("nan")
             if (eval_every and scene.test_cameras
                     and (iteration % eval_every == 0
@@ -427,12 +511,13 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
                 # the state; rendering in n_tile row-slabs bounds its
                 # peak memory to ~a training slab's (a 5M-surfel
                 # config-5 full-res duplicate stream + record gather is
-                # ~2 GB of f32 at once — VERDICT r3 #8)
+                # ~2 GB of f32 at once — VERDICT r3 #8); the per-slab
+                # capacity in effect carries over
                 test_psnr, test_l1 = evaluate_views(
                     state, scene.test_cameras,
                     getattr(scene, "test_images", []), bg,
                     sky_params=sky_params, max_views=eval_max_views,
-                    duplicate_capacity=duplicate_capacity,
+                    duplicate_capacity=cap_holder["cap"],
                     n_slabs=n_tile)
             rep = TrainReport(iteration=iteration,
                               loss=float(metrics["loss"]),
@@ -440,7 +525,8 @@ def train_scene_sharded(scene, state: SurfelState, opt: OptimizationParams,
                               n_alive=int(metrics["n_alive"]),
                               iters_per_s=window_iters / max(dt, 1e-9),
                               overflow_frac=float(ovf),
-                              test_psnr=test_psnr, test_l1=test_l1)
+                              test_psnr=test_psnr, test_l1=test_l1,
+                              dup_capacity=int(cap_holder["cap"] or 0))
             reports.append(rep)
             if callback:
                 callback(rep)

@@ -144,7 +144,9 @@ def stage1_loss(state: SurfelState, camera: Camera, gt_image, bg,
 
     aux = dict(image=image, l1=ll1, ssim=lssim, radii=res.radii,
                psnr=psnr(jnp.clip(image, 0, 1), gt_image),
-               semantic=sem_loss, overflow=res.overflow)
+               semantic=sem_loss, overflow=res.overflow,
+               demand=(res.demand if res.demand is not None
+                       else jnp.int32(0)))
     return loss, aux
 
 
@@ -217,7 +219,8 @@ def train_step(state: SurfelState, opt_state: AdamState, camera: Camera,
 
     metrics = dict(loss=loss, l1=aux["l1"], ssim=aux["ssim"],
                    psnr=aux["psnr"], n_alive=state.num_alive,
-                   semantic=aux["semantic"], overflow=aux["overflow"])
+                   semantic=aux["semantic"], overflow=aux["overflow"],
+                   demand=aux["demand"])
     return state, opt_state, sky_params, sky_opt_state, metrics
 
 

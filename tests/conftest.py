@@ -24,3 +24,19 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    XLA:CPU's LLVM JIT segfaults nondeterministically deep into a long
+    single-process run (observed consistently ~130 compiles in, inside
+    backend_compile of the oracle renderer); dropping the compile caches
+    at module boundaries keeps the JIT arena small. Costs recompiles,
+    buys a suite that finishes."""
+    yield
+    jax.clear_caches()

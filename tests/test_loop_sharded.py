@@ -270,3 +270,91 @@ def test_shard_preprocess_matches_replicated():
     np.testing.assert_allclose(np.asarray(s_rep.grad_accum),
                                np.asarray(s_shd.grad_accum),
                                rtol=5e-3, atol=1e-7)
+
+
+def test_sharded_capacity_auto_bump():
+    """VERDICT r4 #5 for the sharded loop: an overflowing slab duplicate
+    stream trips the in-loop demand-driven bump (the compiled steps are
+    rebuilt at the new per-slab capacity) instead of silently truncating
+    for the rest of the run."""
+    from streetunveiler_tpu.config import OptimizationParams
+    from streetunveiler_tpu.scene.readers import make_synthetic_street
+    from streetunveiler_tpu.scene.scene import Scene
+    from streetunveiler_tpu.train.loop import train_scene_sharded
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    info = make_synthetic_street(n_points=400, n_cameras=2, width=64,
+                                 height=64, focal=45.0, seed=4)
+    scene = Scene(info)
+    state = scene.create_state(capacity=512)
+    opt = OptimizationParams(densify_from_iter=10**9,
+                             prune_from_iter=10**9)
+    # absurd per-slab capacity: one 128-duplicate chunk for 400 surfels
+    reps = train_scene_sharded(scene, state, opt, n_tile=2, n_data=1,
+                               iterations=4, log_every=1,
+                               duplicate_capacity=128)[2]
+    assert reps[0].overflow_frac == 1.0, "the first window must overflow"
+    assert reps[-1].dup_capacity > 128, "the loop must bump the capacity"
+    assert reps[-1].overflow_frac == 0.0, (
+        "post-bump steps must not run truncated")
+
+
+def test_production_slab_metric_parity():
+    """VERDICT r4 #6: sharded metric parity at PRODUCTION slab size.
+    The 16-row-slab parity test allows 5% on ssim/loss (window/slab
+    ~ 0.7); at >=160-row slabs the per-slab SSIM windowing error is
+    O(window/slab_h) < 1% — assert that bound on a 320x320 frame over a
+    1x2 mesh (160-row slabs, BASELINE configs 3/5 slab shape)."""
+    from streetunveiler_tpu.config import OptimizationParams
+    from streetunveiler_tpu.parallel.shard import (make_mesh,
+                                                   make_sharded_train_step)
+    from streetunveiler_tpu.scene.readers import make_synthetic_street
+    from streetunveiler_tpu.scene.scene import Scene
+    from streetunveiler_tpu.train.step import init_optimizer, train_step
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    # dense enough that splats stay well under the 64-tile cap (sparse
+    # toy scenes make every splat huge, and the max_tiles_per_surfel
+    # truncation then binds differently per slab — not what production
+    # scenes or this parity bound are about); GT rendering skipped, the
+    # parity target is any fixed image
+    info = make_synthetic_street(n_points=6000, n_cameras=1, width=320,
+                                 height=320, focal=260.0, seed=11,
+                                 render_gt=False)
+    scene = Scene(info)
+    state = scene.create_state(capacity=6144)
+    opt = OptimizationParams()
+    opt_state = init_optimizer(state)
+    cam = scene.train_cameras[0]
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(0, 1, (320, 320, 3)).astype(np.float32))
+    bg = jnp.zeros(3)
+
+    # demand-sized capacity so both paths run overflow-free (else the
+    # comparison measures truncation, not windowing)
+    from streetunveiler_tpu.renderer import measure_duplicate_capacity
+    cap = measure_duplicate_capacity([cam], state, headroom=1.3)
+
+    _, _, _, _, m1 = train_step(state, opt_state, cam, gt, bg,
+                                jnp.asarray(1), opt,
+                                duplicate_capacity=cap)
+    assert bool(m1["overflow"]) is False
+
+    mesh = make_mesh(1, 2)
+    step = make_sharded_train_step(mesh, opt, 320, 320,
+                                   duplicate_capacity=cap)
+    _, _, m2 = step(state, opt_state, cam.w2c[None], cam.K[None],
+                    gt[None], bg, jnp.asarray(1))
+
+    # exact-reduction metrics tight; ssim/loss within the <1%-of-range
+    # windowing bound the slab analysis promises at 160-row slabs (SSIM
+    # range is [−1, 1], so <1% means absolute error < 0.01; the loss
+    # inherits it scaled by λ_dssim)
+    for k in ("l1", "psnr", "semantic"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-4,
+                                   err_msg=f"metric {k}")
+    assert abs(float(m1["ssim"]) - float(m2["ssim"])) < 0.01
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 0.01
+    assert bool(m2["overflow"]) is False

@@ -97,6 +97,34 @@ def test_densify_and_prune_shapes():
     assert float(jnp.abs(mu.xyz).max()) == 0.0
 
 
+def test_densify_at_full_capacity_preserves_surfels():
+    """At full capacity, a split whose children cannot be placed must NOT
+    prune the parent — the reference's unconditional parent prune assumes
+    children always fit (dynamic tensors); with fixed capacity it would
+    destroy surfels every densify interval (round-5 e2e: test PSNR
+    declining once alive pinned at capacity)."""
+    state, _ = make_scene(n=40)
+    # full: every slot alive
+    state = dataclasses.replace(
+        state, alive=jnp.ones_like(state.alive),
+        params=dataclasses.replace(
+            state.params, opacity=jnp.full_like(state.params.opacity, 2.0)))
+    opt_state = init_optimizer(state)
+    n0 = int(state.num_alive)
+    # force splits: high grads + scales above percent_dense * extent
+    state = dataclasses.replace(
+        state, grad_accum=jnp.ones_like(state.grad_accum),
+        denom=jnp.ones_like(state.denom),
+        params=dataclasses.replace(
+            state.params, scaling=jnp.full_like(state.params.scaling, 2.0)))
+    state2, _, _ = densify_and_prune(
+        state, opt_state.mu, opt_state.nu, grad_threshold=2e-4,
+        min_opacity=0.005, max_screen_size=None,
+        key=jax.random.PRNGKey(0))
+    assert int(state2.num_alive) == n0, (
+        "full-capacity densify must not destroy surfels")
+
+
 def test_reset_opacity_and_prune_mask():
     state, _ = make_scene(n=30)
     opt_state = init_optimizer(state)
@@ -108,6 +136,70 @@ def test_reset_opacity_and_prune_mask():
     state3 = prune_mask(state, state.semantics == 3)
     assert int(state3.num_alive) < int(state.num_alive) or not np.any(
         np.array(state.semantics[state.alive]) == 3)
+
+
+def test_binning_demand_exact():
+    """StreamBinning.demand is the UNCAPPED duplicate total — identical at
+    any probe capacity, equal to the stream length when nothing is
+    dropped. This is what the capacity auto-bump (train loop / GT gen /
+    eval retry) relies on."""
+    from streetunveiler_tpu.renderer import bin_camera
+
+    state, cams = make_scene(n=120, seed=3)
+    big = bin_camera(cams[0], state, interpret=True,
+                     duplicate_capacity=128 * 64)
+    assert not bool(big.overflow)
+    true_total = int(big.tile_offsets[-1])
+    assert int(big.demand) == true_total
+
+    tiny = bin_camera(cams[0], state, interpret=True,
+                      duplicate_capacity=128)
+    assert int(tiny.demand) == true_total
+    assert bool(tiny.overflow) == (true_total > 128)
+
+
+def test_train_scene_capacity_auto_bump(tmp_path):
+    """VERDICT r4 #5 (the round-4 config-2 root cause): an undersized
+    duplicate capacity must not silently truncate — the loop measures the
+    true demand and resizes before/while training."""
+    from streetunveiler_tpu.scene.readers import make_synthetic_street
+    from streetunveiler_tpu.scene.scene import Scene
+    from streetunveiler_tpu.train.loop import train_scene
+
+    info = make_synthetic_street(n_points=400, n_cameras=3, width=64,
+                                 height=48, focal=45.0, seed=5)
+    scene = Scene(info, model_path=str(tmp_path))
+    state = scene.create_state(capacity=512)
+    opt = OptimizationParams(densify_from_iter=10**9,
+                             normal_consist_from_iter=10**9,
+                             semantic_dist_from_iter=10**9,
+                             shrinking_from_iter=10**9,
+                             prune_from_iter=10**9)
+    # deliberately absurd: one chunk of 128 duplicates for 400 surfels
+    state2, _, reps = train_scene(scene, state, opt, iterations=6,
+                                  log_every=3, duplicate_capacity=128)
+    assert reps
+    assert reps[-1].dup_capacity > 128, "pre-flight demand probe must bump"
+    assert reps[-1].overflow_frac == 0.0, "training must not run truncated"
+
+
+def test_eval_views_overflow_retry():
+    """ADVICE r4: eval never scores a truncated render — an overflowing
+    view is re-rendered at a demand-sized capacity and matches the
+    big-capacity result exactly."""
+    from streetunveiler_tpu.train.loop import evaluate_views
+
+    state, cams = make_scene(n=100, seed=9)
+    rng = np.random.default_rng(1)
+    imgs = [np.asarray(rng.uniform(0, 1, (c.height, c.width, 3)),
+                       np.float32) for c in cams]
+    bg = jnp.zeros(3)
+    p_big, l_big = evaluate_views(state, cams, imgs, bg,
+                                  duplicate_capacity=128 * 64)
+    p_tiny, l_tiny = evaluate_views(state, cams, imgs, bg,
+                                    duplicate_capacity=128)
+    np.testing.assert_allclose(p_tiny, p_big, rtol=1e-5)
+    np.testing.assert_allclose(l_tiny, l_big, rtol=1e-5)
 
 
 def test_slab_eval_matches_single_pass():

@@ -42,7 +42,8 @@ def main():
         "/tmp/probe_gt0.png")
 
     state = scene.create_state(capacity=128_000)
-    bg = jnp.zeros(3)
+    from streetunveiler_tpu.cli.common import scene_background
+    bg = scene_background(scene)
     cam = scene.train_cameras[0]
 
     @jax.jit
@@ -63,7 +64,7 @@ def main():
     # training slice: PSNR must move up
     opt = OptimizationParams(densify_from_iter=10_000)  # isolate: no densify
     reports = []
-    state2, _, reps = train_scene(scene, state, opt, iterations=200,
+    state2, _, reps = train_scene(scene, state, opt, bg=bg, iterations=200,
                                   log_every=50, callback=reports.append)
     for r in reps:
         print(f"  it {r.iteration}: loss={r.loss:.4f} psnr={r.psnr:.2f} "
